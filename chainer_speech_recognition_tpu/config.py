@@ -1,0 +1,192 @@
+"""Typed configuration tree — single source of truth for one experiment.
+
+Replaces the reference's per-script ``argparse`` flags (SURVEY.md §2.6) with one
+JSON-round-trippable dataclass tree. Feature parameters are frozen into every
+checkpoint so decode always matches the training front-end (the "same feature
+parameters" clause of BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from . import constants as C
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    sample_rate: int = C.SAMPLE_RATE
+    n_fft: int = C.N_FFT
+    win_length: int = C.WIN_LENGTH
+    hop_length: int = C.HOP_LENGTH
+    n_mels: int = C.N_MELS
+    fmin: float = C.MEL_FMIN
+    fmax: float = C.MEL_FMAX
+    log_eps: float = C.LOG_EPS
+    delta_window: int = C.DELTA_WINDOW
+    cmvn: bool = True               # per-utterance CMVN (config 3, BASELINE.json:9)
+
+
+@dataclass(frozen=True)
+class SpecAugmentConfig:
+    enabled: bool = False
+    num_time_masks: int = 2
+    time_mask_max: int = 40         # frames
+    num_freq_masks: int = 2
+    freq_mask_max: int = 8          # mel bins
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Acoustic model: strided-conv subsampling stack + BiRNN stack + proj."""
+
+    preset: str = "bigru"           # registry key (models/presets.py)
+    conv_channels: tuple[int, ...] = (32, 32)
+    conv_kernel: tuple[int, int] = (3, 3)
+    conv_stride_time: tuple[int, ...] = (2, 2)   # per conv layer
+    conv_stride_freq: tuple[int, ...] = (2, 2)
+    rnn_type: str = "gru"           # "gru" | "lstm" | "none"
+    rnn_layers: int = 3
+    rnn_hidden: int = 256
+    proj_dim: int = 0               # 0 = straight to vocab
+    vocab_size: int = 64            # symbols INCLUDING blank (class 0)
+    compute_dtype: str = C.COMPUTE_DTYPE
+    remat_rnn: bool = False         # jax.checkpoint over each RNN layer scan
+
+
+@dataclass(frozen=True)
+class BucketConfig:
+    """Bucketed-by-length batching (BASELINE.json:5,8): static shapes per bucket."""
+
+    boundaries: tuple[int, ...] = (256, 512, 768, 1024, 1536, 2048)  # frames
+    batch_sizes: tuple[int, ...] = (64, 48, 32, 24, 16, 8)   # per bucket
+    max_label_len: int = 128
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    warmup_steps: int = 500
+    decay_steps: int = 100_000
+    end_lr_scale: float = 0.01
+    clip_norm: float = 5.0
+    weight_decay: float = 0.0
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """DP mesh over TPU chips, gradient all-reduce over ICI (BASELINE.json:11)."""
+
+    data_axis: str = "data"
+    num_devices: int = 0            # 0 = use all visible devices
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    seed: int = 0
+    total_steps: int = 10_000
+    log_every: int = 50
+    eval_every: int = 1000
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+    checkpoint_dir: str = "checkpoints"
+
+
+@dataclass(frozen=True)
+class Config:
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    specaugment: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    buckets: BucketConfig = field(default_factory=BucketConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ---- JSON round trip -----------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                    ft = fields[k].type
+                    ftype = _resolve(tp, ft)
+                    if dataclasses.is_dataclass(ftype):
+                        kwargs[k] = build(ftype, v)
+                    elif isinstance(v, list):
+                        kwargs[k] = tuple(v)
+                    else:
+                        kwargs[k] = v
+                return tp(**kwargs)
+            return val
+
+        return build(cls, d)
+
+    def override(self, dotted: dict[str, Any]) -> "Config":
+        """Apply {'model.rnn_hidden': 512}-style CLI overrides."""
+        d = dataclasses.asdict(self)
+        for key, val in dotted.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[parts[-1]] = val
+        return Config.from_dict(d)
+
+
+def _resolve(owner, tp):
+    """Resolve a (possibly string) dataclass field annotation to a type."""
+    if isinstance(tp, str):
+        ns = dict(globals())
+        return ns.get(tp.split("[")[0], str)
+    return tp
+
+
+# ---------------------------------------------------------------------------
+# The five contract configs (BASELINE.json:6-12)
+# ---------------------------------------------------------------------------
+
+def preset_config(name: str) -> Config:
+    base = Config()
+    if name == "tiny_conv":        # config 1: small conv+CTC, greedy, CPU-OK
+        return base.override({
+            "model.preset": "tiny_conv",
+            "model.rnn_type": "none",
+            "model.conv_channels": [16, 16],
+            "model.rnn_layers": 0,
+        })
+    if name == "bigru":            # config 2: conv subsampling + 3-layer BiGRU
+        return base.override({
+            "model.preset": "bigru",
+            "model.rnn_type": "gru",
+            "model.rnn_layers": 3,
+        })
+    if name == "bilstm_deep":      # config 3: deep BiLSTM + CMVN + SpecAugment
+        cfg = base.override({
+            "model.preset": "bilstm_deep",
+            "model.rnn_type": "lstm",
+            "model.rnn_layers": 5,
+            "model.rnn_hidden": 320,
+            "specaugment.enabled": True,
+            "features.cmvn": True,
+        })
+        return cfg
+    raise KeyError(f"unknown preset config: {name}")
