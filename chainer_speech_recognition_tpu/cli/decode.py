@@ -1,0 +1,68 @@
+"""Decode CLI: checkpoint + wav file(s) → text (SURVEY.md §3.5).
+
+Greedy by default; ``--beam K`` switches to prefix beam search, and
+``--lm``/``--lm-alpha``/``--lm-beta`` enable n-gram LM shallow fusion
+(config 4, BASELINE.json:10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..decode.greedy import greedy_decode
+from ..frontend.jnp_frontend import batch_features
+from ..utils.wav import read_wav
+from ..vocab import Vocab
+from .evaluate import load_model_and_params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--vocab", required=True, help="vocab.txt path")
+    p.add_argument("--beam", type=int, default=0,
+                   help="beam width (0 = greedy)")
+    p.add_argument("--lm", default=None, help="ARPA n-gram LM for fusion")
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lm-beta", type=float, default=1.0)
+    p.add_argument("wavs", nargs="+")
+    args = p.parse_args(argv)
+
+    cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
+    vocab = Vocab.load(args.vocab)
+
+    sigs = [read_wav(w) for w in args.wavs]
+    n_max = max(len(s) for s in sigs)
+    B = len(sigs)
+    signals = np.zeros((B, n_max), np.float32)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(sigs):
+        signals[i, : len(s)] = s
+        lens[i] = len(s)
+
+    feats, flens = batch_features(jnp.asarray(signals), jnp.asarray(lens),
+                                  apply_cmvn=cfg.features.cmvn)
+    logits, olens = model.apply(state.params, feats, flens)
+
+    if args.beam > 0:
+        from ..decode.beam import beam_decode
+        from ..decode.lm import NGramLM
+        lm = NGramLM.from_arpa(args.lm, vocab) if args.lm else None
+        hyps = beam_decode(logits, olens, beam=args.beam, lm=lm,
+                           alpha=args.lm_alpha, beta=args.lm_beta)
+        for w, h in zip(args.wavs, hyps):
+            print(f"{w}\t{vocab.decode(h)}")
+    else:
+        ids, out_lens = greedy_decode(logits, olens)
+        ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+        for i, w in enumerate(args.wavs):
+            print(f"{w}\t{vocab.decode(ids[i, : out_lens[i]])}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Evaluate CLI: checkpoint → dev/test CER (SURVEY.md §3.4).
+
+Reconstructs the exact training config (front-end included) from the
+checkpoint directory's frozen config.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..data.corpus import load_index
+from ..data.sampler import BatchLoader, BucketSampler
+from ..models.presets import build_model
+from ..train.checkpoint import latest_checkpoint, load_config, restore_checkpoint
+from ..train.loop import evaluate
+from ..train.state import init_state
+from ..train.step import make_eval_step
+from ..vocab import Vocab
+
+
+def load_model_and_params(ckpt_dir: str):
+    cfg = load_config(ckpt_dir)
+    model = build_model(cfg.model)
+    ex = jnp.zeros((1, cfg.buckets.boundaries[0], cfg.features.n_mels, 3),
+                   jnp.float32)
+    state = init_state(model, cfg.optim, jax.random.key(0), ex,
+                       jnp.asarray([cfg.buckets.boundaries[0]]))
+    path = latest_checkpoint(ckpt_dir)
+    if path is None:
+        raise SystemExit(f"no checkpoint found in {ckpt_dir}")
+    state = restore_checkpoint(path, state)
+    return cfg, model, state, path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--index", default="dev_index.jsonl")
+    args = p.parse_args(argv)
+
+    cfg, model, state, path = load_model_and_params(args.ckpt_dir)
+    vocab = Vocab.load(os.path.join(args.data_dir, "vocab.txt"))
+    utts = load_index(os.path.join(args.data_dir, args.index))
+
+    sampler = BucketSampler(utts, cfg.buckets, seed=0)
+    loader = BatchLoader(utts, vocab, cfg.buckets)
+    eval_step = make_eval_step(model, cfg)
+
+    def eval_fn(batch):
+        b = {k: jnp.asarray(v) for k, v in batch.items() if k != "bucket_id"}
+        return eval_step(state.params, b)
+
+    acc, loss = evaluate(eval_fn, loader, sampler.epoch_batches(0), vocab, utts)
+    print(f"checkpoint {path}")
+    print(f"CER {acc.cer:.4f} | loss {loss:.4f} | {acc.num_utts} utts "
+          f"| {acc.edits} edits / {acc.ref_len} ref chars")
+
+
+if __name__ == "__main__":
+    main()

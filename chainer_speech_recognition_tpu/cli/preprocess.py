@@ -1,0 +1,49 @@
+"""Preprocess CLI: corpus directory → utterance index + vocab
+(SURVEY.md §3.1 — the reference's preprocessing script re-shaped: features
+are computed on-device at train time, so only the index/vocab are persisted;
+use --stats to sanity-check bucket coverage before training)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import BucketConfig
+from ..data.buckets import padding_waste
+from ..data.corpus import build_vocab, save_index, scan_corpus
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--corpus", required=True, help="corpus root (wav+txt pairs)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--dev-fraction", type=float, default=0.0,
+                   help="held-out fraction written to dev_index.jsonl")
+    p.add_argument("--stats", action="store_true")
+    args = p.parse_args(argv)
+
+    utts = scan_corpus(args.corpus)
+    if not utts:
+        raise SystemExit(f"no (wav, txt) pairs found under {args.corpus}")
+    os.makedirs(args.out, exist_ok=True)
+
+    n_dev = int(len(utts) * args.dev_fraction)
+    dev, tr = utts[:n_dev], utts[n_dev:]
+    save_index(os.path.join(args.out, "train_index.jsonl"), tr)
+    if dev:
+        save_index(os.path.join(args.out, "dev_index.jsonl"), dev)
+    vocab = build_vocab(utts)
+    vocab.save(os.path.join(args.out, "vocab.txt"))
+    print(f"indexed {len(tr)} train / {len(dev)} dev utterances, "
+          f"vocab size {len(vocab)}")
+
+    if args.stats:
+        frames = [u.num_frames for u in utts]
+        waste = padding_waste(frames, BucketConfig())
+        print(f"frames: min={min(frames)} max={max(frames)} "
+              f"mean={sum(frames)/len(frames):.0f}; "
+              f"default-bucket padding waste {waste:.1%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Train CLI (SURVEY.md §2.6 "Train driver" / §3.2).
+
+Example:
+  python -m chainer_speech_recognition_tpu.cli.train \\
+      --data-dir prep_out --preset bigru \\
+      --set train.total_steps=20000 parallel.num_devices=4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..data.corpus import load_index
+from ..train.loop import train
+from ..utils.runtime import enable_compilation_cache
+from ..vocab import Vocab
+from .common import add_config_args, load_config
+
+
+def main(argv=None):
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description=__doc__)
+    add_config_args(p)
+    p.add_argument("--data-dir", required=True,
+                   help="preprocess output dir (indexes + vocab.txt)")
+    p.add_argument("--ckpt-dir", default=None, help="override checkpoint dir")
+    p.add_argument("--metrics", default=None, help="metrics JSONL path")
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args)
+    vocab = Vocab.load(os.path.join(args.data_dir, "vocab.txt"))
+    cfg = cfg.override({"model.vocab_size": len(vocab)})
+    if args.ckpt_dir:
+        cfg = cfg.override({"train.checkpoint_dir": args.ckpt_dir})
+
+    train_utts = load_index(os.path.join(args.data_dir, "train_index.jsonl"))
+    dev_path = os.path.join(args.data_dir, "dev_index.jsonl")
+    dev_utts = load_index(dev_path) if os.path.exists(dev_path) else None
+
+    train(cfg, train_utts, vocab, dev_utts=dev_utts,
+          metrics_path=args.metrics, resume=not args.no_resume)
+
+
+if __name__ == "__main__":
+    main()

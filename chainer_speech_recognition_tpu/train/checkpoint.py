@@ -1,0 +1,67 @@
+"""Checkpoint / resume: full train-state pytree, atomic, keep-last-N
+(SURVEY.md §2.6/§5.4 — replaces Chainer ``save_npz``/``load_npz``).
+
+Format: one ``step_XXXXXXXX.msgpack`` (flax.serialization of the TrainState
+pytree) + the experiment ``config.json`` frozen beside it, so decode always
+reconstructs the exact front-end/model that trained (BASELINE.json:5 "same
+feature parameters"). Writes are write-to-temp + rename (atomic on POSIX);
+resume is bitwise-exact (tested in tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import flax.serialization
+import jax
+
+from ..config import Config
+from .state import TrainState
+
+_CKPT_RE = re.compile(r"^step_(\d{8})\.msgpack$")
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, config: Config,
+                    keep: int = 3) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state = jax.device_get(state)
+    step = int(state.step)
+    path = os.path.join(ckpt_dir, f"step_{step:08d}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    os.replace(tmp, path)
+
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        tmp = cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(config.to_json())
+        os.replace(tmp, cfg_path)
+
+    for old in list_checkpoints(ckpt_dir)[:-keep]:
+        os.remove(os.path.join(ckpt_dir, old))
+    return path
+
+
+def list_checkpoints(ckpt_dir: str) -> list[str]:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(f for f in os.listdir(ckpt_dir) if _CKPT_RE.match(f))
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    ckpts = list_checkpoints(ckpt_dir)
+    return os.path.join(ckpt_dir, ckpts[-1]) if ckpts else None
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into a freshly-initialized template state (defines the pytree)."""
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def load_config(ckpt_dir: str) -> Config:
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        return Config.from_json(f.read())

@@ -1,0 +1,135 @@
+"""Host-side training loop (SURVEY.md §3.2): feeds padded buckets to the
+jitted DP train step, logs structured metrics, runs periodic dev-CER eval,
+checkpoints with exact resume (data order included).
+
+The loop's only jobs are data movement and bookkeeping — all math lives in
+``train/step.py`` on device.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.buckets import padding_waste
+from ..data.corpus import Utterance
+from ..data.sampler import BatchLoader, BucketSampler, Prefetcher
+from ..decode.greedy import greedy_decode
+from ..decode.metrics import CERAccumulator
+from ..frontend.jnp_frontend import batch_features
+from ..models.presets import build_model
+from ..parallel.mesh import make_mesh, shard_batch
+from ..vocab import Vocab
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .metrics import MetricsLogger
+from .state import init_state
+from .step import make_eval_step, make_train_step
+
+
+def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts):
+    """Dev-set greedy decode → corpus CER + mean loss (SURVEY.md §3.4)."""
+    acc = CERAccumulator()
+    total_loss, n = 0.0, 0
+    for bid, idxs in batches:
+        batch = loader.load(bid, idxs)
+        losses, logits, olens = eval_step(batch)
+        ids, out_lens = greedy_decode(logits, olens)
+        ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+        losses = np.asarray(losses)
+        for i, u_idx in enumerate(idxs):
+            hyp = vocab.decode(ids[i, : out_lens[i]])
+            acc.add(hyp, utts[int(u_idx)].text)
+        fin = np.isfinite(losses) & (losses < 1e29)
+        total_loss += float(losses[fin].sum())
+        n += int(fin.sum())
+    return acc, total_loss / max(n, 1)
+
+
+def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
+          dev_utts: list[Utterance] | None = None,
+          metrics_path: str | None = None, resume: bool = True):
+    model = build_model(cfg.model)
+    mesh = make_mesh(cfg.parallel)
+    log = MetricsLogger(metrics_path)
+
+    sampler = BucketSampler(train_utts, cfg.buckets, seed=cfg.train.seed)
+    loader = BatchLoader(train_utts, vocab, cfg.buckets)
+    if sampler.num_dropped:
+        log.log("data", dropped_utts=sampler.num_dropped,
+                total_utts=len(train_utts))
+    waste = padding_waste([u.num_frames for u in train_utts], cfg.buckets)
+    log.log("data", padding_waste=round(waste, 4),
+            buckets=[len(b) for b in sampler.buckets])
+
+    # init from the first bucket's shapes
+    shape = sampler.shapes[0]
+    ex_feats = jnp.zeros((1, shape.max_frames, cfg.features.n_mels, 3), jnp.float32)
+    state = init_state(model, cfg.optim, jax.random.key(cfg.train.seed),
+                       ex_feats, jnp.asarray([shape.max_frames]))
+
+    ckpt = latest_checkpoint(cfg.train.checkpoint_dir) if resume else None
+    if ckpt:
+        state = restore_checkpoint(ckpt, state)
+        log.log("resume", checkpoint=ckpt, step=int(state.step))
+
+    train_step = make_train_step(model, cfg, mesh)
+    raw_eval_step = make_eval_step(model, cfg)
+
+    def eval_fn(batch):
+        b = {k: jnp.asarray(v) for k, v in batch.items() if k != "bucket_id"}
+        return raw_eval_step(state.params, b)
+
+    dev_batches = None
+    if dev_utts:
+        dev_sampler = BucketSampler(dev_utts, cfg.buckets, seed=0)
+        dev_loader = BatchLoader(dev_utts, vocab, cfg.buckets)
+        dev_batches = dev_sampler.epoch_batches(0)
+
+    step = int(state.step)
+    t_last, utts_since = time.perf_counter(), 0
+    epoch = 0
+    done = False
+    while not done:
+        batches = sampler.epoch_batches(epoch)
+        # exact resume: skip batches already consumed this epoch
+        consumed = step - sum(len(sampler.epoch_batches(e)) for e in range(epoch))
+        if consumed >= len(batches):
+            epoch += 1
+            continue
+        for batch in Prefetcher(loader, batches[max(consumed, 0):]):
+            bucket_id = batch.pop("bucket_id")
+            sharded = shard_batch(mesh, batch)
+            state, m = train_step(state, sharded)
+            step += 1
+            utts_since += len(batch["num_samples"])
+
+            if step % cfg.train.log_every == 0:
+                now = time.perf_counter()
+                log.log("train", step=step, epoch=epoch,
+                        loss=float(m["loss"]), grad_norm=float(m["grad_norm"]),
+                        valid_frac=float(m["valid_frac"]),
+                        utt_per_sec=utts_since / (now - t_last),
+                        bucket_id=int(bucket_id))
+                t_last, utts_since = now, 0
+            if dev_batches and step % cfg.train.eval_every == 0:
+                acc, dev_loss = evaluate(eval_fn, dev_loader, dev_batches,
+                                         vocab, dev_utts)
+                log.log("eval", step=step, cer=acc.cer, loss=dev_loss,
+                        num_utts=acc.num_utts)
+            if step % cfg.train.checkpoint_every == 0:
+                path = save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
+                                       keep=cfg.train.keep_checkpoints)
+                log.log("checkpoint", step=step, path=path)
+            if step >= cfg.train.total_steps:
+                done = True
+                break
+        epoch += 1
+
+    save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
+                    keep=cfg.train.keep_checkpoints)
+    log.close()
+    return state

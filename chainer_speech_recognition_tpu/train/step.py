@@ -1,0 +1,103 @@
+"""The jitted train/eval steps — everything between the two host↔device
+boundaries of the reference's iteration (SURVEY.md §3.2) fused into ONE
+compiled program: on-device front-end → SpecAugment → acoustic model →
+CTC → grad → clip → update, with the gradient all-reduce over the DP mesh
+inside ``shard_map`` (BASELINE.json:5,11).
+
+Batches are dicts of padded host arrays:
+  signals        [B, N_max] float32 PCM
+  num_samples    [B] int32
+  labels         [B, L_max] int32 (PAD_LABEL_ID beyond label_lengths)
+  label_lengths  [B] int32
+Per-bucket static shapes → one XLA compile per bucket (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..config import Config
+from ..frontend.jnp_frontend import batch_features
+from ..ops.ctc_jax import ctc_loss, mean_ctc_loss
+from ..ops.specaugment import apply_specaugment
+from .state import TrainState, make_optimizer
+
+
+def _forward_loss(model, cfg: Config, params, batch, rng, train: bool):
+    feats, flens = batch_features(
+        batch["signals"], batch["num_samples"], apply_cmvn=cfg.features.cmvn)
+    if train and cfg.specaugment.enabled:
+        feats = apply_specaugment(rng, feats, flens, cfg.specaugment)
+    logits, olens = model.apply(params, feats, flens)
+    loss, valid_frac = mean_ctc_loss(
+        logits, olens, batch["labels"], batch["label_lengths"])
+    return loss, (valid_frac, logits, olens)
+
+
+def make_train_step(model, cfg: Config, mesh) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics) jitted over mesh.
+
+    Inside shard_map each device computes grads on its batch shard, then
+    ``lax.pmean`` all-reduces them over the ``data`` axis (ICI); the optax
+    update runs replicated.
+    """
+    tx = make_optimizer(cfg.optim)
+    axis = cfg.parallel.data_axis
+
+    def device_step(state: TrainState, batch):
+        step_rng = jax.random.fold_in(
+            jax.random.wrap_key_data(state.rng), state.step)
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
+
+        (loss, (valid_frac, _, _)), grads = jax.value_and_grad(
+            lambda p: _forward_loss(model, cfg, p, batch, step_rng, train=True),
+            has_aux=True)(state.params)
+
+        grads = jax.lax.pmean(grads, axis)            # all-reduce over ICI
+        loss = jax.lax.pmean(loss, axis)
+        valid_frac = jax.lax.pmean(valid_frac, axis)
+        gnorm = optax.global_norm(grads)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt,
+            step=state.step + 1, rng=state.rng)
+        metrics = {"loss": loss, "grad_norm": gnorm, "valid_frac": valid_frac}
+        return new_state, metrics
+
+    batch_specs = {
+        "signals": P(axis), "num_samples": P(axis),
+        "labels": P(axis), "label_lengths": P(axis),
+    }
+    sharded = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), batch_specs), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg: Config) -> Callable:
+    """eval_step(params, batch) → (per-utt ctc loss [B], logits, out_lens).
+
+    Single-program jit (eval batches are small); greedy decode is applied by
+    the caller so beam/LM variants can share this step.
+    """
+
+    @jax.jit
+    def eval_step(params, batch):
+        feats, flens = batch_features(
+            batch["signals"], batch["num_samples"], apply_cmvn=cfg.features.cmvn)
+        logits, olens = model.apply(params, feats, flens)
+        losses = ctc_loss(logits, olens, batch["labels"], batch["label_lengths"])
+        return losses, logits, olens
+
+    return eval_step

@@ -1,0 +1,77 @@
+"""Checkpoint/resume tests (SURVEY.md §4.4): save at step k, restore, and the
+restored state must be bitwise-identical; the end-to-end CLI loop must resume
+and reproduce the same step k+1 as an uninterrupted run."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from chainer_speech_recognition_tpu.config import preset_config
+from chainer_speech_recognition_tpu.data.synthetic import make_batch
+from chainer_speech_recognition_tpu.frontend.jnp_frontend import batch_features
+from chainer_speech_recognition_tpu.models.presets import build_model
+from chainer_speech_recognition_tpu.parallel.mesh import make_mesh, shard_batch
+from chainer_speech_recognition_tpu.train.checkpoint import (
+    latest_checkpoint, list_checkpoints, load_config, restore_checkpoint,
+    save_checkpoint)
+from chainer_speech_recognition_tpu.train.state import init_state
+from chainer_speech_recognition_tpu.train.step import make_train_step
+
+
+def _setup(tmp_path):
+    cfg = preset_config("tiny_conv").override({
+        "model.vocab_size": 9, "model.compute_dtype": "float32",
+        "train.checkpoint_dir": str(tmp_path / "ckpts")})
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, batch_size=8, vocab_size=9, max_label_len=8)
+    feats, flens = batch_features(jnp.asarray(batch["signals"]),
+                                  jnp.asarray(batch["num_samples"]))
+    state = init_state(model, cfg.optim, jax.random.key(0), feats, flens)
+    return cfg, model, state, batch
+
+
+def test_save_restore_bitwise(tmp_path):
+    cfg, model, state, _ = _setup(tmp_path)
+    path = save_checkpoint(cfg.train.checkpoint_dir, state, cfg)
+    assert os.path.exists(path)
+    # template with different values restores exactly
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), "bitwise mismatch"
+    # frozen config round-trips
+    assert load_config(cfg.train.checkpoint_dir) == cfg
+
+
+def test_resume_reproduces_next_step(tmp_path):
+    cfg, model, state, batch = _setup(tmp_path)
+    mesh = make_mesh(cfg.parallel)
+    step_fn = make_train_step(model, cfg, mesh)
+
+    # run 2 steps, checkpoint after step 1
+    s1, _ = step_fn(jax.tree.map(jnp.copy, state), shard_batch(mesh, batch))
+    save_checkpoint(cfg.train.checkpoint_dir, s1, cfg)
+    s2, m2 = step_fn(jax.tree.map(jnp.copy, s1), shard_batch(mesh, batch))
+
+    # restore and redo step 2
+    template = jax.tree.map(jnp.zeros_like, s1)
+    r1 = restore_checkpoint(latest_checkpoint(cfg.train.checkpoint_dir), template)
+    r2, mr2 = step_fn(r1, shard_batch(mesh, batch))
+
+    assert float(m2["loss"]) == float(mr2["loss"])
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(r2.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            "resume is not bitwise-exact"
+
+
+def test_keep_last_n(tmp_path):
+    cfg, model, state, _ = _setup(tmp_path)
+    for k in range(5):
+        state = state.replace(step=jnp.asarray(k, jnp.int32))
+        save_checkpoint(cfg.train.checkpoint_dir, state, cfg, keep=2)
+    kept = list_checkpoints(cfg.train.checkpoint_dir)
+    assert kept == ["step_00000003.msgpack", "step_00000004.msgpack"]

@@ -1,0 +1,83 @@
+"""CLI end-to-end test (config 1 slice through the real command surface):
+preprocess a tiny on-disk synthetic corpus → train a few steps → evaluate →
+decode one wav (SURVEY.md §4.2)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from chainer_speech_recognition_tpu.data.synthetic import make_utterance
+from chainer_speech_recognition_tpu.utils.wav import write_wav
+
+KANA = ["あ", "い", "う", "え"]
+
+
+def _make_corpus(root, n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        nsym = 1 + int(rng.integers(1, 4))
+        ids = []
+        for _ in range(nsym):
+            k = int(rng.integers(1, 5))
+            while ids and k == ids[-1]:
+                k = int(rng.integers(1, 5))
+            ids.append(k)
+        sig, _ = make_utterance(rng, ids, tone_len=1600)
+        write_wav(os.path.join(root, f"utt{i:03d}.wav"), sig)
+        with open(os.path.join(root, f"utt{i:03d}.txt"), "w") as f:
+            # symbol k ↔ kana (sorted char vocab maps them back to 1..4
+            # after <blank>,<unk>; ordering is asserted in the test)
+            f.write("".join(KANA[k - 1] for k in ids))
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, capsys):
+    from chainer_speech_recognition_tpu.cli import decode as decode_cli
+    from chainer_speech_recognition_tpu.cli import evaluate as evaluate_cli
+    from chainer_speech_recognition_tpu.cli import preprocess as preprocess_cli
+    from chainer_speech_recognition_tpu.cli import train as train_cli
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "prep")
+    ckpt = str(tmp_path / "ckpts")
+    _make_corpus(corpus)
+
+    preprocess_cli.main(["--corpus", corpus, "--out", out,
+                         "--dev-fraction", "0.2", "--stats"])
+    assert os.path.exists(os.path.join(out, "train_index.jsonl"))
+    assert os.path.exists(os.path.join(out, "dev_index.jsonl"))
+    assert os.path.exists(os.path.join(out, "vocab.txt"))
+
+    overrides = [
+        "model.compute_dtype=float32",
+        "optim.learning_rate=0.003", "optim.warmup_steps=20",
+        "optim.decay_steps=400",
+        "buckets.boundaries=[64]", "buckets.batch_sizes=[8]",
+        "buckets.max_label_len=8",
+        "train.total_steps=60", "train.log_every=20",
+        "train.eval_every=1000", "train.checkpoint_every=50",
+    ]
+    train_cli.main(["--data-dir", out, "--preset", "tiny_conv",
+                    "--ckpt-dir", ckpt,
+                    "--metrics", str(tmp_path / "metrics.jsonl"),
+                    "--set", *overrides])
+    assert any(f.endswith(".msgpack") for f in os.listdir(ckpt))
+    metrics = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    losses = [m["loss"] for m in metrics if m["kind"] == "train"]
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out])
+    cer_line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("CER")][0]
+    assert "CER" in cer_line
+
+    wav = os.path.join(corpus, "utt000.wav")
+    decode_cli.main(["--ckpt-dir", ckpt,
+                     "--vocab", os.path.join(out, "vocab.txt"), wav])
+    out_line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith(wav)][0]
+    assert "\t" in out_line

@@ -1,0 +1,90 @@
+"""Data pipeline tests: corpus scan/index round-trip, bucketing, sampler
+determinism + resume, prefetcher, WAV I/O (SURVEY.md §2.2)."""
+
+import os
+
+import numpy as np
+
+from chainer_speech_recognition_tpu import constants as C
+from chainer_speech_recognition_tpu.config import BucketConfig
+from chainer_speech_recognition_tpu.data.buckets import (
+    assign_bucket, bucket_shapes, padding_waste)
+from chainer_speech_recognition_tpu.data.corpus import (
+    build_vocab, load_index, save_index, scan_corpus)
+from chainer_speech_recognition_tpu.data.sampler import (
+    BatchLoader, BucketSampler, Prefetcher)
+from chainer_speech_recognition_tpu.data.synthetic import make_utterance
+from chainer_speech_recognition_tpu.utils.wav import read_wav, write_wav
+
+
+def _make_corpus(root, n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    texts = ["あい", "うえお", "かきく", "けこさ"]
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        sig, _ = make_utterance(rng, [1 + i % 4] * (1 + i % 3),
+                                tone_len=1600 + 400 * (i % 5))
+        write_wav(os.path.join(root, f"utt{i:03d}.wav"), sig)
+        with open(os.path.join(root, f"utt{i:03d}.txt"), "w") as f:
+            f.write(texts[i % 4])
+
+
+def test_wav_roundtrip(tmp_path):
+    sig = np.random.default_rng(0).uniform(-0.5, 0.5, 4000).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, sig)
+    back = read_wav(path)
+    assert back.shape == sig.shape
+    np.testing.assert_allclose(back, sig, atol=1 / 32768)
+
+
+def test_scan_and_index_roundtrip(tmp_path):
+    root = str(tmp_path / "corpus")
+    _make_corpus(root)
+    utts = scan_corpus(root)
+    assert len(utts) == 12
+    assert all(u.text for u in utts)
+    assert utts[0].num_frames == C.num_frames(utts[0].num_samples)
+    idx_path = str(tmp_path / "index.jsonl")
+    save_index(idx_path, utts)
+    assert load_index(idx_path) == utts
+    vocab = build_vocab(utts)
+    assert len(vocab) > 2
+
+
+def test_assign_bucket_and_waste():
+    cfg = BucketConfig(boundaries=(100, 200), batch_sizes=(4, 2))
+    idx = assign_bucket(np.asarray([50, 100, 150, 201]), cfg)
+    assert list(idx) == [0, 0, 1, -1]
+    shapes = bucket_shapes(cfg)
+    assert shapes[0].max_samples == 99 * C.HOP_LENGTH
+    assert C.num_frames(shapes[0].max_samples) == 100
+    w = padding_waste([50, 100], cfg)
+    assert abs(w - (1 - 150 / 200)) < 1e-9
+
+
+def test_sampler_determinism_and_shapes(tmp_path):
+    root = str(tmp_path / "corpus")
+    _make_corpus(root, n=24)
+    utts = scan_corpus(root)
+    cfg = BucketConfig(boundaries=(64, 128), batch_sizes=(4, 4),
+                       max_label_len=8)
+    s1 = BucketSampler(utts, cfg, seed=7)
+    s2 = BucketSampler(utts, cfg, seed=7)
+    b1, b2 = s1.epoch_batches(3), s2.epoch_batches(3)
+    assert len(b1) > 0
+    assert all((x[0] == y[0]) and np.array_equal(x[1], y[1])
+               for x, y in zip(b1, b2))
+    # different epoch ⇒ different order
+    assert any(not np.array_equal(x[1], y[1])
+               for x, y in zip(b1, s1.epoch_batches(4)))
+
+    vocab = build_vocab(utts)
+    loader = BatchLoader(utts, vocab, cfg)
+    for batch in Prefetcher(loader, b1[:3]):
+        bid = batch["bucket_id"]
+        shape = s1.shapes[bid]
+        assert batch["signals"].shape == (shape.batch_size, shape.max_samples)
+        assert batch["labels"].shape == (shape.batch_size, shape.max_label_len)
+        assert (batch["num_samples"] > 0).all()
+        assert (batch["label_lengths"] > 0).all()
