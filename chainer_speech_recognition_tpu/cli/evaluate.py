@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--data-dir", required=True)
     p.add_argument("--index", default="dev_index.jsonl")
+    p.add_argument("--beam", type=int, default=0, help="beam width (0=greedy)")
+    p.add_argument("--lm", default=None, help="ARPA LM for shallow fusion")
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lm-beta", type=float, default=1.0)
     args = p.parse_args(argv)
 
     cfg, model, state, path = load_model_and_params(args.ckpt_dir)
@@ -55,7 +59,19 @@ def main(argv=None):
         b = {k: jnp.asarray(v) for k, v in batch.items() if k != "bucket_id"}
         return eval_step(state.params, b)
 
-    acc, loss = evaluate(eval_fn, loader, sampler.epoch_batches(0), vocab, utts)
+    decode_fn = None
+    if args.beam > 0:
+        from ..decode.beam import beam_decode
+        from ..decode.lm import NGramLM
+        lm = NGramLM.from_arpa(args.lm, vocab) if args.lm else None
+        lm_dense = lm.to_dense() if lm else None
+
+        def decode_fn(logits, olens):
+            return beam_decode(logits, olens, beam=args.beam, lm=lm_dense,
+                               alpha=args.lm_alpha, beta=args.lm_beta)
+
+    acc, loss = evaluate(eval_fn, loader, sampler.epoch_batches(0), vocab,
+                         utts, decode_fn=decode_fn)
     print(f"checkpoint {path}")
     print(f"CER {acc.cer:.4f} | loss {loss:.4f} | {acc.num_utts} utts "
           f"| {acc.edits} edits / {acc.ref_len} ref chars")

@@ -89,6 +89,8 @@ class ParallelConfig:
 
 @dataclass(frozen=True)
 class TrainConfig:
+    ctc_impl: str = "auto"      # "auto" | "pallas" | "jnp"; auto = pallas
+                                # kernel on TPU, lax.scan elsewhere
     seed: int = 0
     total_steps: int = 10_000
     log_every: int = 50

@@ -1,0 +1,262 @@
+"""CTC prefix beam search (config 4, BASELINE.json:10; SURVEY.md §2.5/§3.5).
+
+Two implementations:
+
+* ``beam_decode_reference`` — exact Hannun-style host prefix beam (the
+  oracle; O(T·K·V) Python, eval-scale only).
+* ``beam_decode`` — batched ON-DEVICE fixed-width beam: static ``[B, K]``
+  hypothesis state inside one jit. Per frame, the K×V candidate grid
+  (column 0 = "stay", columns 1..V-1 = extensions) is scored on the VPU,
+  duplicate prefixes are merged EXACTLY via rolling-hash equality + a
+  segmented logsumexp scan (sorted candidates), then masked top-K keeps the
+  beam (SURVEY.md §7 hard-part 3). Optional n-gram LM shallow fusion uses a
+  device-resident dense table + one int32 context id per hypothesis
+  (decode/lm.py), scores = log P_am + α·log P_lm + β per emitted char.
+
+Per-utterance lengths freeze the beam past each utterance's last frame —
+all shapes static, no host round-trips until detokenization.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BLANK_ID
+from .lm import NGramLM
+
+LOG_ZERO = -1.0e30
+_HASH_MULT = 1000003
+_HASH_MOD = 2**30 - 35          # prime, keeps hashes positive int32
+
+
+def _lse(a, b):
+    if a <= LOG_ZERO / 2:
+        return b
+    if b <= LOG_ZERO / 2:
+        return a
+    m = max(a, b)
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+# ---------------------------------------------------------------------------
+# host oracle
+# ---------------------------------------------------------------------------
+
+def beam_decode_reference(logprobs, length, beam=8, lm: NGramLM | None = None,
+                          alpha=0.5, beta=1.0):
+    """Exact prefix beam over one utterance. logprobs: [T, V] (log-softmax).
+
+    Returns the best prefix as a list of ids.
+    """
+    lp = np.asarray(logprobs)
+    beams = {(): (0.0, LOG_ZERO)}                   # prefix -> (p_b, p_nb)
+    V = lp.shape[1]
+    for t in range(int(length)):
+        new: dict = defaultdict(lambda: (LOG_ZERO, LOG_ZERO))
+        for prefix, (pb, pnb) in beams.items():
+            total = _lse(pb, pnb)
+            last = prefix[-1] if prefix else None
+            # blank: prefix unchanged, mass moves to p_b
+            npb, npnb = new[prefix]
+            new[prefix] = (_lse(npb, total + lp[t, BLANK_ID]), npnb)
+            # repeat last symbol: collapses into same prefix (p_nb path only)
+            if last is not None:
+                npb, npnb = new[prefix]
+                new[prefix] = (npb, _lse(npnb, pnb + lp[t, last]))
+            # extensions
+            for c in range(1, V):
+                base = pb if c == last else total
+                if base <= LOG_ZERO / 2:
+                    continue
+                sc = base + lp[t, c]
+                if lm is not None:
+                    sc += alpha * lm.score(prefix, c) + beta
+                ext = prefix + (c,)
+                epb, epnb = new[ext]
+                new[ext] = (epb, _lse(epnb, sc))
+        beams = dict(sorted(new.items(), key=lambda kv: -_lse(*kv[1]))[:beam])
+    best = max(beams.items(), key=lambda kv: _lse(*kv[1]))
+    return list(best[0])
+
+
+# ---------------------------------------------------------------------------
+# on-device batched beam
+# ---------------------------------------------------------------------------
+
+def _segmented_lse_scan(scores, seg_start):
+    """Inclusive segmented logsumexp along axis -1.
+
+    scores: [..., N]; seg_start: bool [..., N] (True = new segment).
+    Returns per-position running segment-lse; the LAST element of each
+    segment holds the full segment reduction.
+    """
+    def combine(x, y):
+        xv, xf = x
+        yv, yf = y
+        m = jnp.maximum(xv, yv)
+        m_safe = jnp.maximum(m, LOG_ZERO / 2)
+        merged = m_safe + jnp.log(
+            jnp.maximum(jnp.exp(xv - m_safe) + jnp.exp(yv - m_safe), 1e-37))
+        merged = jnp.where(m <= LOG_ZERO / 2, LOG_ZERO, merged)
+        return jnp.where(yf, yv, merged), xf | yf
+
+    out, _ = jax.lax.associative_scan(combine, (scores, seg_start), axis=-1)
+    return out
+
+
+def beam_decode(logits, lengths, beam: int = 8, lm=None,
+                alpha: float = 0.5, beta: float = 1.0,
+                max_len: int | None = None):
+    """Batched on-device prefix beam. logits [B,T,V], lengths [B].
+
+    lm: None, an NGramLM (tensorized automatically), or a pre-built
+    (dense_table [C,V] np/jnp fp32, order) tuple.
+
+    Returns list of per-utterance best-prefix id lists (host side).
+    """
+    B, T, V = logits.shape
+    max_len = max_len or T
+    if isinstance(lm, NGramLM):
+        lm = lm.to_dense()
+    if lm is not None:
+        lm_table, lm_order = jnp.asarray(lm[0], jnp.float32), int(lm[1])
+    else:
+        lm_table, lm_order = jnp.zeros((1, V), jnp.float32), 1
+        alpha = beta = 0.0      # no LM ⇒ no fusion score, no length bonus
+
+    prefixes, lens, scores = _beam_decode_jit(
+        jnp.asarray(logits), jnp.asarray(lengths), beam, max_len,
+        lm_table, lm_order, float(alpha), float(beta))
+    prefixes, lens = np.asarray(prefixes), np.asarray(lens)
+    return [list(prefixes[b, 0, : lens[b, 0]]) for b in range(B)]
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("beam", "max_len", "lm_order",
+                                              "alpha", "beta"))
+def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
+                     alpha, beta):
+    B, T, V = logits.shape
+    K = beam
+    lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    C = lm_table.shape[0]
+
+    # beam state
+    pb = jnp.full((B, K), LOG_ZERO, jnp.float32).at[:, 0].set(0.0)
+    pnb = jnp.full((B, K), LOG_ZERO, jnp.float32)
+    hashes = jnp.broadcast_to(-jnp.arange(1, K + 1, dtype=jnp.int32)[None],
+                              (B, K)).at[:, 0].set(1)
+    last = jnp.zeros((B, K), jnp.int32)               # 0 = none
+    ctx = jnp.zeros((B, K), jnp.int32)                # LM context id
+    pfx = jnp.full((B, K, max_len), -1, jnp.int32)
+    plen = jnp.zeros((B, K), jnp.int32)
+
+    v_ids = jnp.arange(V, dtype=jnp.int32)[None, None, :]   # [1,1,V]
+
+    def step(state, xs):
+        pb, pnb, hashes, last, ctx, pfx, plen = state
+        lp, t = xs                                     # [B,V], scalar
+        total = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO), pnb)
+        total = jnp.where(jnp.maximum(pb, pnb) <= LOG_ZERO / 2, LOG_ZERO, total)
+
+        # ---- candidate grid [B, K, V]: v==0 stay, v>=1 extend ----------
+        lp_b = lp[:, None, :]                          # [B,1,V]
+        # stay: pb' = total + lp[blank]; pnb' = pnb + lp[last] (if last>0)
+        stay_pb = total + lp[:, BLANK_ID][:, None]     # [B,K]
+        rep = jnp.take_along_axis(lp, jnp.maximum(last, 0), axis=1)
+        stay_pnb = jnp.where(last > 0, pnb + rep, LOG_ZERO)
+        # extend: base = (v==last ? pb : total) + lp[v] (+ LM)
+        base = jnp.where(v_ids == last[:, :, None], pb[:, :, None],
+                         total[:, :, None])
+        ext_pnb = base + lp_b                          # [B,K,V]
+        if lm_order > 1 or alpha != 0.0:
+            lm_row = lm_table[ctx]                     # [B,K,V]
+            ext_pnb = ext_pnb + alpha * lm_row + beta
+        ext_pnb = jnp.where(v_ids == 0, LOG_ZERO, ext_pnb)
+
+        cand_pb = jnp.concatenate(
+            [stay_pb[:, :, None],
+             jnp.full((B, K, V - 1), LOG_ZERO, jnp.float32)], axis=2)
+        cand_pnb = jnp.concatenate(
+            [stay_pnb[:, :, None], ext_pnb[:, :, 1:]], axis=2)
+
+        # hashes / metadata per candidate
+        ext_hash = ((hashes[:, :, None] % _HASH_MOD) * _HASH_MULT
+                    + v_ids) % _HASH_MOD
+        cand_hash = jnp.where(v_ids == 0, hashes[:, :, None], ext_hash)
+        parent = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, V))
+        char = jnp.where(v_ids == 0, -1, v_ids)
+        char = jnp.broadcast_to(char, (B, K, V))
+
+        N = K * V
+        flat = lambda x: x.reshape(B, N)
+        cand_pb, cand_pnb = flat(cand_pb), flat(cand_pnb)
+        cand_hash, parent, char = flat(cand_hash), flat(parent), flat(char)
+
+        # ---- merge duplicates: sort by hash, segmented lse ---------------
+        order = jnp.argsort(cand_hash, axis=1)
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)
+        s_hash, s_pb, s_pnb = take(cand_hash), take(cand_pb), take(cand_pnb)
+        s_parent, s_char = take(parent), take(char)
+        seg_start = jnp.concatenate(
+            [jnp.ones((B, 1), bool), s_hash[:, 1:] != s_hash[:, :-1]], axis=1)
+        m_pb = _segmented_lse_scan(s_pb, seg_start)
+        m_pnb = _segmented_lse_scan(s_pnb, seg_start)
+        seg_end = jnp.concatenate(
+            [seg_start[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        score = jnp.logaddexp(jnp.maximum(m_pb, LOG_ZERO / 2),
+                              jnp.maximum(m_pnb, LOG_ZERO / 2))
+        score = jnp.where(seg_end, score, LOG_ZERO)    # one rep per segment
+
+        # ---- top-K new beams ---------------------------------------------
+        top_score, top_idx = jax.lax.top_k(score, K)   # [B,K]
+        g = lambda x: jnp.take_along_axis(x, top_idx, axis=1)
+        n_pb, n_pnb = g(m_pb), g(m_pnb)
+        n_hash, n_parent, n_char = g(s_hash), g(s_parent), g(s_char)
+
+        # ---- rebuild prefix bookkeeping -----------------------------------
+        par = n_parent[:, :, None]
+        new_pfx = jnp.take_along_axis(
+            pfx, jnp.broadcast_to(par, (B, K, pfx.shape[2])), axis=1)
+        new_plen = jnp.take_along_axis(plen, n_parent, axis=1)
+        new_last = jnp.take_along_axis(last, n_parent, axis=1)
+        new_ctx = jnp.take_along_axis(ctx, n_parent, axis=1)
+        extend = n_char >= 0
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, K, pfx.shape[2]), 2)
+        at_pos = (pos == new_plen[:, :, None]) & extend[:, :, None]
+        new_pfx = jnp.where(at_pos, n_char[:, :, None], new_pfx)
+        new_plen = new_plen + extend.astype(jnp.int32)
+        new_last = jnp.where(extend, n_char, new_last)
+        if lm_order > 1:
+            rolled = (new_ctx * V + jnp.maximum(n_char, 0)) % C
+            new_ctx = jnp.where(extend, rolled, new_ctx)
+
+        # ---- freeze past utterance end -------------------------------------
+        alive = (t < lengths)[:, None]
+        sel = lambda n, o: jnp.where(alive, n, o)
+        sel3 = lambda n, o: jnp.where(alive[:, :, None], n, o)
+        return (sel(n_pb, pb), sel(n_pnb, pnb), sel(n_hash, hashes),
+                sel(new_last, last), sel(new_ctx, ctx),
+                sel3(new_pfx, pfx), sel(new_plen, plen)), None
+
+    lp_tm = jnp.swapaxes(lp_all, 0, 1)                 # [T,B,V]
+    ts = jnp.arange(T, dtype=jnp.int32)
+    (pb, pnb, hashes, last, ctx, pfx, plen), _ = jax.lax.scan(
+        step, (pb, pnb, hashes, last, ctx, pfx, plen), (lp_tm, ts))
+
+    final = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO / 2),
+                          jnp.maximum(pnb, LOG_ZERO / 2))
+    order = jnp.argsort(-final, axis=1)
+    pfx = jnp.take_along_axis(
+        pfx, jnp.broadcast_to(order[:, :, None], pfx.shape), axis=1)
+    plen = jnp.take_along_axis(plen, order, axis=1)
+    final = jnp.take_along_axis(final, order, axis=1)
+    return pfx, plen, final

@@ -1,0 +1,184 @@
+"""Character n-gram language model for CTC shallow fusion (config 4,
+BASELINE.json:10; SURVEY.md §2.5 "n-gram LM shallow fusion").
+
+Two representations:
+* host: backoff dict (ARPA-loadable, or trained from text with Katz-style
+  absolute discounting) — used by the reference beam decoder (oracle);
+* device: dense ``[V^(order-1), V]`` log-prob table (``to_dense``) so the
+  on-device beam keeps one int32 context id per hypothesis and scores every
+  extension with a single gather — the "LM scores as a device-resident
+  lookup" design of SURVEY.md §2.5. Practical for char-level kana vocabs
+  (V ≲ a few hundred, order ≤ 3).
+
+Sentence-boundary conventions: contexts are char tuples over vocab ids;
+id 0 (<blank>) doubles as the begin-of-sentence context entry (blank never
+appears inside label sequences, so there is no collision).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+
+from ..vocab import Vocab
+
+LOG10 = math.log(10.0)
+
+
+class NGramLM:
+    """Backoff char n-gram over vocab ids (1..V-1); natural-log scores."""
+
+    def __init__(self, order: int, vocab_size: int):
+        assert order >= 1
+        self.order = order
+        self.V = vocab_size
+        # logp[(ctx tuple)][char] and backoff[(ctx tuple)] in natural log
+        self.logp: list[dict] = [dict() for _ in range(order)]
+        self.backoff: list[dict] = [defaultdict(float) for _ in range(order)]
+
+    # ---------------- scoring ----------------
+    def score(self, context: tuple[int, ...], char: int) -> float:
+        """log P(char | context) with backoff; context = previous ids."""
+        ctx = tuple(context[-(self.order - 1):]) if self.order > 1 else ()
+        while True:
+            n = len(ctx)
+            probs = self.logp[n].get(ctx)
+            if probs is not None and char in probs:
+                return probs[char]
+            if n == 0:
+                return math.log(1.0 / self.V)       # uniform floor
+            ctx_b = ctx
+            ctx = ctx[1:]
+            bo = self.backoff[len(ctx_b)].get(ctx_b, 0.0)
+            if probs is not None or bo:
+                # apply backoff weight of the context we just left
+                return bo + self.score(ctx, char)
+
+    def sequence_logp(self, ids) -> float:
+        ctx: tuple[int, ...] = ()
+        total = 0.0
+        for c in ids:
+            total += self.score(ctx, int(c))
+            ctx = (ctx + (int(c),))[-(self.order - 1):] if self.order > 1 else ()
+        return total
+
+    # ---------------- training ----------------
+    @classmethod
+    def train(cls, texts, vocab: Vocab, order: int = 3,
+              discount: float = 0.5) -> "NGramLM":
+        """Absolute-discount backoff estimation from raw transcripts."""
+        lm = cls(order, len(vocab))
+        counts = [defaultdict(lambda: defaultdict(int)) for _ in range(order)]
+        for text in texts:
+            ids = vocab.encode(text)
+            ctx: tuple[int, ...] = ()
+            for c in ids:
+                for n in range(min(len(ctx), order - 1) + 1):
+                    sub = ctx[len(ctx) - n:]
+                    counts[n][sub][c] += 1
+                if order > 1:
+                    ctx = (ctx + (c,))[-(order - 1):]
+        for n in range(order):
+            for ctx, cc in counts[n].items():
+                total = sum(cc.values())
+                kinds = len(cc)
+                probs = {}
+                for c, k in cc.items():
+                    probs[c] = math.log(max(k - discount, 1e-10) / total)
+                lm.logp[n][ctx] = probs
+                if n > 0:
+                    lm.backoff[n][ctx] = math.log(discount * kinds / total)
+        return lm
+
+    # ---------------- ARPA I/O ----------------
+    @classmethod
+    def from_arpa(cls, path: str, vocab: Vocab) -> "NGramLM":
+        """Load a character ARPA LM, mapping symbols through the vocab."""
+        sections: dict[int, list] = {}
+        order = 1
+        with open(path, encoding="utf-8") as f:
+            cur = None
+            for line in f:
+                line = line.strip()
+                if line.startswith("\\") and "-grams:" in line:
+                    n = int(line[1:line.index("-")])
+                    cur = sections.setdefault(n, [])
+                    order = max(order, n)
+                elif line.startswith("\\") or not line:
+                    cur = None
+                elif cur is not None:
+                    cur.append(line.split("\t"))
+        lm = cls(order, len(vocab))
+
+        def sym_id(s: str) -> int | None:
+            if s in ("<s>", "</s>", "<unk>"):
+                return None
+            ids = vocab.encode(s)
+            return ids[0] if len(ids) == 1 else None
+
+        for n, rows in sections.items():
+            for row in rows:
+                logp10 = float(row[0])
+                toks = row[1].split(" ")
+                ids = [sym_id(t) for t in toks]
+                if any(i is None for i in ids):
+                    continue
+                ctx, char = tuple(ids[:-1]), ids[-1]
+                lm.logp[n - 1].setdefault(ctx, {})[char] = logp10 * LOG10
+                if len(row) > 2:
+                    lm.backoff[n - 1][ctx + (char,)] = float(row[2]) * LOG10
+        return lm
+
+    def to_arpa(self, path: str, vocab: Vocab) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\\data\\\n")
+            for n in range(self.order):
+                cnt = sum(len(p) for p in [self.logp[n]]) and sum(
+                    len(v) for v in self.logp[n].values())
+                f.write(f"ngram {n+1}={cnt}\n")
+            for n in range(self.order):
+                f.write(f"\n\\{n+1}-grams:\n")
+                for ctx, probs in self.logp[n].items():
+                    for c, lp in probs.items():
+                        gram = " ".join(vocab.symbols[i] for i in ctx + (c,))
+                        bo = self.backoff[n + 1].get(ctx + (c,), 0.0) \
+                            if n + 1 < self.order else 0.0
+                        if bo:
+                            f.write(f"{lp/LOG10:.6f}\t{gram}\t{bo/LOG10:.6f}\n")
+                        else:
+                            f.write(f"{lp/LOG10:.6f}\t{gram}\n")
+            f.write("\n\\end\\\n")
+
+    # ---------------- device tensorization ----------------
+    def to_dense(self, max_order: int | None = None) -> tuple[np.ndarray, int]:
+        """→ (table [V^(n-1), V] fp32 natural-log, effective order n).
+
+        Context id = sum_i ctx[i] * V^i (most recent char has the highest
+        stride); row 0 (all-blank context) is the BOS/empty context.
+        """
+        n = min(self.order, max_order or self.order)
+        V = self.V
+        C = V ** (n - 1)
+        table = np.empty((C, V), np.float32)
+        # fill by full backoff evaluation for every (context, char)
+        for cid in range(C):
+            ctx = []
+            rem = cid
+            for _ in range(n - 1):
+                ctx.append(rem % V)
+                rem //= V
+            ctx = tuple(c for c in ctx[::-1] if c != 0)  # strip blank=BOS
+            for ch in range(V):
+                table[cid, ch] = self.score(ctx, ch)
+        table[:, 0] = 0.0        # blank: no LM cost (CTC blank ≠ a word)
+        return table, n
+
+    @staticmethod
+    def next_context_id(ctx_id, char, V: int, order: int):
+        """Roll the dense context id (host or jnp arithmetic)."""
+        if order <= 1:
+            return ctx_id * 0
+        C = V ** (order - 1)
+        return (ctx_id * V + char) % C

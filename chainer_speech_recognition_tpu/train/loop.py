@@ -30,19 +30,27 @@ from .state import init_state
 from .step import make_eval_step, make_train_step
 
 
-def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts):
-    """Dev-set greedy decode → corpus CER + mean loss (SURVEY.md §3.4)."""
+def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
+             decode_fn=None):
+    """Dev-set decode → corpus CER + mean loss (SURVEY.md §3.4).
+
+    decode_fn(logits, olens) → list of id-lists; defaults to on-device greedy.
+    Pass a beam_decode closure for prefix-beam / LM-fused evaluation.
+    """
     acc = CERAccumulator()
     total_loss, n = 0.0, 0
     for bid, idxs in batches:
         batch = loader.load(bid, idxs)
         losses, logits, olens = eval_step(batch)
-        ids, out_lens = greedy_decode(logits, olens)
-        ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+        if decode_fn is None:
+            ids, out_lens = greedy_decode(logits, olens)
+            ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+            hyps = [list(ids[i, : out_lens[i]]) for i in range(len(idxs))]
+        else:
+            hyps = decode_fn(logits, olens)
         losses = np.asarray(losses)
         for i, u_idx in enumerate(idxs):
-            hyp = vocab.decode(ids[i, : out_lens[i]])
-            acc.add(hyp, utts[int(u_idx)].text)
+            acc.add(vocab.decode(hyps[i]), utts[int(u_idx)].text)
         fin = np.isfinite(losses) & (losses < 1e29)
         total_loss += float(losses[fin].sum())
         n += int(fin.sum())

@@ -26,8 +26,16 @@ from jax import shard_map
 from ..config import Config
 from ..frontend.jnp_frontend import batch_features
 from ..ops.ctc_jax import ctc_loss, mean_ctc_loss
+from ..ops.ctc_pallas import mean_ctc_loss_pallas
 from ..ops.specaugment import apply_specaugment
 from .state import TrainState, make_optimizer
+
+
+def _mean_ctc(cfg: Config):
+    impl = cfg.train.ctc_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return {"pallas": mean_ctc_loss_pallas, "jnp": mean_ctc_loss}[impl]
 
 
 def _forward_loss(model, cfg: Config, params, batch, rng, train: bool):
@@ -36,7 +44,7 @@ def _forward_loss(model, cfg: Config, params, batch, rng, train: bool):
     if train and cfg.specaugment.enabled:
         feats = apply_specaugment(rng, feats, flens, cfg.specaugment)
     logits, olens = model.apply(params, feats, flens)
-    loss, valid_frac = mean_ctc_loss(
+    loss, valid_frac = _mean_ctc(cfg)(
         logits, olens, batch["labels"], batch["label_lengths"])
     return loss, (valid_frac, logits, olens)
 

@@ -1,0 +1,136 @@
+"""Prefix-beam-search tests (SURVEY.md §4.1 "decoders vs slow pure-Python
+references" + §7 hard-part 3):
+
+* exactness: with a beam wide enough to hold every prefix, both the host
+  reference and the on-device beam must reproduce EXHAUSTIVE path-sum
+  enumeration (total-probability ranking, not just argmax);
+* device == host on peaked (realistic) posteriors;
+* LM shallow fusion steers both decoders the same way.
+"""
+
+import itertools
+from collections import defaultdict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from chainer_speech_recognition_tpu.decode.beam import (
+    _beam_decode_jit, beam_decode, beam_decode_reference)
+from chainer_speech_recognition_tpu.decode.lm import NGramLM
+from chainer_speech_recognition_tpu.vocab import Vocab
+
+
+def _exhaustive(lp):
+    """All collapsed prefixes with exact log total probability."""
+    T, V = lp.shape
+    probs = defaultdict(float)
+    for path in itertools.product(range(V), repeat=T):
+        p = np.exp(sum(lp[t, c] for t, c in enumerate(path)))
+        out, prev = [], -1
+        for c in path:
+            if c != 0 and c != prev:
+                out.append(c)
+            prev = c
+        probs[tuple(out)] += p
+    return sorted(probs.items(), key=lambda kv: -kv[1])
+
+
+def _logits(seed, B, T, V, scale=2.0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((B, T, V)).astype(np.float32) * scale
+
+
+def test_beam_exact_vs_enumeration():
+    logits = _logits(0, 1, 4, 3)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))[0]
+    exact = _exhaustive(lp)
+    assert beam_decode_reference(lp, 4, beam=32) == list(exact[0][0])
+    pfx, plen, final = _beam_decode_jit(
+        jnp.asarray(logits), jnp.asarray([4]), 16, 4,
+        jnp.zeros((1, 3), jnp.float32), 1, 0.0, 1.0)
+    pfx, plen, final = np.asarray(pfx), np.asarray(plen), np.asarray(final)
+    for k in range(4):   # top-4 prefixes AND their scores match enumeration
+        assert list(pfx[0, k, : plen[0, k]]) == list(exact[k][0])
+        assert abs(final[0, k] - np.log(exact[k][1])) < 1e-3
+
+
+def test_device_matches_reference_on_peaked_logits():
+    """On realistic (peaked) posteriors pruning paths coincide."""
+    B, T, V = 5, 18, 7
+    rng = np.random.default_rng(3)
+    # build peaked logits around a random path
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    for b in range(B):
+        path = rng.integers(0, V, T)
+        logits[b, np.arange(T), path] += 6.0
+    lens = rng.integers(8, T + 1, B)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    hyps = beam_decode(logits, lens, beam=8)
+    for b in range(B):
+        ref = beam_decode_reference(lp[b], lens[b], beam=8)
+        assert [int(x) for x in hyps[b]] == ref, b
+
+
+def test_beam_respects_lengths():
+    logits = np.full((1, 6, 3), -5.0, np.float32)
+    logits[0, :, 1] = 5.0          # always symbol 1
+    logits[0, 3:, 2] = 10.0        # symbol 2 after t=3 (outside length)
+    hyps = beam_decode(logits, np.asarray([3]), beam=4)
+    assert [int(x) for x in hyps[0]] == [1]
+
+
+def _toy_lm_vocab():
+    vocab = Vocab.build(["あいう", "ういあ", "あいあ"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 50 + ["あいあ"] * 5, vocab, order=2)
+    return vocab, lm
+
+
+def test_lm_scores_are_sane():
+    vocab, lm = _toy_lm_vocab()
+    a, i, u = vocab.encode("あ")[0], vocab.encode("い")[0], vocab.encode("う")[0]
+    # after "あい", "う" much likelier than "あ" per training counts
+    assert lm.score((a, i), u) > lm.score((a, i), a)
+    dense, order = lm.to_dense()
+    assert order == 2 and dense.shape == (len(vocab), len(vocab))
+    ctx = i  # bigram context id = last char id
+    assert dense[ctx, u] > dense[ctx, a]
+    np.testing.assert_allclose(dense[ctx, u], lm.score((a, i), u), atol=1e-5)
+
+
+def test_lm_fusion_changes_decode_consistently():
+    """Ambiguous AM + LM that prefers 'う' after 'い': both decoders must
+    flip the third symbol when fusion is on."""
+    vocab, lm = _toy_lm_vocab()
+    a, i, u = vocab.encode("あ")[0], vocab.encode("い")[0], vocab.encode("う")[0]
+    V = len(vocab)
+    T = 6
+    logits = np.full((1, T, V), -8.0, np.float32)
+    for t, c in [(0, a), (1, 0), (2, i), (3, 0)]:
+        logits[0, t, c] = 8.0
+    # frames 4-5: nearly tied between あ and う, あ slightly ahead
+    logits[0, 4:, a] = 2.10
+    logits[0, 4:, u] = 2.00
+
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))[0]
+    no_lm_ref = beam_decode_reference(lp, T, beam=8)
+    lm_ref = beam_decode_reference(lp, T, beam=8, lm=lm, alpha=0.8, beta=0.0)
+    assert no_lm_ref == [a, i, a]
+    assert lm_ref == [a, i, u]
+
+    no_lm_dev = beam_decode(logits, np.asarray([T]), beam=8)
+    lm_dev = beam_decode(logits, np.asarray([T]), beam=8, lm=lm,
+                         alpha=0.8, beta=0.0)
+    assert [int(x) for x in no_lm_dev[0]] == no_lm_ref
+    assert [int(x) for x in lm_dev[0]] == lm_ref
+
+
+def test_arpa_roundtrip(tmp_path):
+    vocab, lm = _toy_lm_vocab()
+    path = str(tmp_path / "lm.arpa")
+    lm.to_arpa(path, vocab)
+    lm2 = NGramLM.from_arpa(path, vocab)
+    a, i, u = vocab.encode("あ")[0], vocab.encode("い")[0], vocab.encode("う")[0]
+    for ctx, c in [((a,), i), ((a, i), u), ((), a), ((u,), i)]:
+        assert abs(lm.score(ctx, c) - lm2.score(ctx, c)) < 1e-4
