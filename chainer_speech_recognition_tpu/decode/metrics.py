@@ -10,7 +10,23 @@ import numpy as np
 
 
 def edit_distance(hyp, ref) -> int:
-    """Levenshtein distance between two sequences (str or id lists)."""
+    """Levenshtein distance between two sequences (str or id lists).
+
+    Uses the C++ kernel (native/csr_native.cpp) when built; the NumPy DP
+    below is the always-available fallback and the differential oracle.
+    """
+    from ..utils.native import edit_distance_native
+
+    a = [ord(c) for c in hyp] if isinstance(hyp, str) else hyp
+    b = [ord(c) for c in ref] if isinstance(ref, str) else ref
+    native = edit_distance_native(a, b)
+    if native is not None:
+        return native
+    return edit_distance_py(hyp, ref)
+
+
+def edit_distance_py(hyp, ref) -> int:
+    """Pure-Python/NumPy reference implementation."""
     m, n = len(hyp), len(ref)
     if m == 0:
         return n

@@ -94,11 +94,12 @@ def batch_features(
     lengths = num_samples.astype(jnp.int32)
 
     # --- framing via reflected gather (center pad folded in) -------------
+    # one flat gather along the sample axis: take_along_axis on [B, N] with
+    # [B, T*n_fft] indices — never materializes a [B, T, N] broadcast
     idx = _reflect(raw_idx[None, :, :], lengths[:, None, None])  # [B,T,n_fft]
     frames = jnp.take_along_axis(
-        jnp.broadcast_to(signals.astype(jnp.float32)[:, None, :], (B, t_max, n_max)),
-        idx, axis=2,
-    )
+        signals.astype(jnp.float32), idx.reshape(B, -1), axis=1
+    ).reshape(B, t_max, C.N_FFT)
     frames = frames * jnp.asarray(win_full)[None, None, :]
 
     # --- STFT power → mel → log ------------------------------------------

@@ -1,0 +1,104 @@
+"""ctypes loader/builder for the C++ runtime components (native/csr_native.cpp).
+
+Compiles on first use with g++ (cached as a .so beside the source hash),
+falls back to None so every caller keeps its pure-Python path
+(SURVEY.md §2.9 — native equivalents for the host-side hot loops).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "csr_native.cpp")
+_LIB = None
+_TRIED = False
+
+
+def _build() -> str | None:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    out_dir = os.path.join(_REPO_ROOT, "native", "build")
+    os.makedirs(out_dir, exist_ok=True)
+    so_path = os.path.join(out_dir, f"csr_native_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", so_path + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so_path + ".tmp", so_path)
+        return so_path
+    except Exception as e:  # compiler missing / failed: fall back to Python
+        print(f"[csr_native] build failed, using Python fallbacks: {e}",
+              file=sys.stderr)
+        return None
+
+
+def get_lib():
+    """→ configured ctypes CDLL or None (use Python fallbacks)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so_path = _build()
+    if so_path is None:
+        return None
+    lib = ctypes.CDLL(so_path)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.edit_distance_i32.restype = ctypes.c_int64
+    lib.edit_distance_i32.argtypes = [i32p, ctypes.c_int64, i32p, ctypes.c_int64]
+    lib.edit_distance_batch_i32.restype = None
+    lib.edit_distance_batch_i32.argtypes = [
+        i32p, i32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.wav_pcm16_to_f32.restype = ctypes.c_int64
+    lib.wav_pcm16_to_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32)]
+    _LIB = lib
+    return _LIB
+
+
+def _as_i32(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, dtype=np.int32))
+
+
+def edit_distance_native(hyp, ref) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    a, b = _as_i32(hyp), _as_i32(ref)
+    return int(lib.edit_distance_i32(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(b)))
+
+
+def read_wav_native(path: str, expect_rate: int) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        buf = np.frombuffer(f.read(), dtype=np.uint8)
+    out = np.empty(len(buf) // 2 + 1, dtype=np.float32)
+    rate = ctypes.c_int32(0)
+    n = lib.wav_pcm16_to_f32(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(out),
+        ctypes.byref(rate))
+    if n < 0:
+        return None
+    if rate.value != expect_rate:
+        raise ValueError(f"{path}: expected {expect_rate} Hz, got {rate.value}")
+    return out[:n].copy()

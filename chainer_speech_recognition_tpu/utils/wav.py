@@ -14,7 +14,21 @@ from ..constants import SAMPLE_RATE
 
 
 def read_wav(path: str) -> np.ndarray:
-    """→ float32 signal in [-1, 1]; validates rate/channels/width."""
+    """→ float32 signal in [-1, 1]; validates rate/channels/width.
+
+    Prefers the C++ RIFF parser (native/csr_native.cpp) for the data-loader
+    thread; falls back to stdlib ``wave`` (also the differential oracle).
+    """
+    from .native import read_wav_native
+
+    native = read_wav_native(str(path), SAMPLE_RATE)
+    if native is not None:
+        return native
+    return read_wav_py(path)
+
+
+def read_wav_py(path: str) -> np.ndarray:
+    """stdlib reference implementation."""
     with wave.open(str(path), "rb") as w:
         if w.getframerate() != SAMPLE_RATE:
             raise ValueError(f"{path}: expected {SAMPLE_RATE} Hz, got {w.getframerate()}")
