@@ -96,6 +96,28 @@ def main(argv=None):
     audio_sec = float(np.sum(batch["num_samples"])) / C.SAMPLE_RATE
     rtf = audio_sec * args.steps / dt / n_chips    # audio-sec per wall-sec
 
+    # decode throughput: eval forward + on-device greedy (BASELINE.json:2
+    # tracks RTF for train AND decode)
+    from chainer_speech_recognition_tpu.decode.greedy import greedy_decode
+    from chainer_speech_recognition_tpu.train.step import make_eval_step
+
+    eval_step = make_eval_step(model, cfg)
+    eb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def decode_once():
+        losses, logits, olens = eval_step(state.params, eb)
+        ids, out_lens = greedy_decode(logits, olens, max_len=64)
+        return ids
+
+    ids = decode_once(); ids.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        ids = decode_once()
+    ids.block_until_ready()
+    ddt = time.perf_counter() - t0
+    decode_rtf = audio_sec * args.steps / ddt / n_chips
+    decode_ups = B * args.steps / ddt / n_chips
+
     result = {
         "metric": "train_utterances_per_sec_per_chip",
         "value": round(ups_per_chip, 3),
@@ -105,6 +127,8 @@ def main(argv=None):
             "backend": args.backend, "n_chips": n_chips,
             "preset": args.preset, "batch": B, "frames": args.frames,
             "train_rtf_per_chip": round(rtf, 1),
+            "decode_utt_per_sec_per_chip": round(decode_ups, 1),
+            "decode_rtf_per_chip": round(decode_rtf, 1),
             "loss": round(float(m["loss"]), 4),
         },
     }

@@ -20,12 +20,39 @@ def main(argv=None):
     p.add_argument("--dev-fraction", type=float, default=0.0,
                    help="held-out fraction written to dev_index.jsonl")
     p.add_argument("--stats", action="store_true")
+    p.add_argument("--cache-features", action="store_true",
+                   help="precompute golden log-mel+Δ features to .npy "
+                        "(reference-style cache; on-device front-end is the "
+                        "default and needs no cache)")
+    p.add_argument("--no-cmvn", action="store_true",
+                   help="with --cache-features: skip utterance CMVN")
     args = p.parse_args(argv)
 
     utts = scan_corpus(args.corpus)
     if not utts:
         raise SystemExit(f"no (wav, txt) pairs found under {args.corpus}")
     os.makedirs(args.out, exist_ok=True)
+
+    if args.cache_features:
+        import dataclasses
+
+        import numpy as np
+
+        from ..frontend.golden_np import features as golden_features
+        from ..utils.wav import read_wav
+
+        feat_dir = os.path.join(args.out, "features")
+        os.makedirs(feat_dir, exist_ok=True)
+        cached = []
+        for u in utts:
+            path = os.path.join(feat_dir, u.utt_id.replace("/", "__") + ".npy")
+            if not os.path.exists(path):
+                f = golden_features(read_wav(u.wav),
+                                    apply_cmvn=not args.no_cmvn)
+                np.save(path, f)
+            cached.append(dataclasses.replace(u, feat=path))
+        utts = cached
+        print(f"cached features for {len(utts)} utterances -> {feat_dir}")
 
     n_dev = int(len(utts) * args.dev_fraction)
     dev, tr = utts[:n_dev], utts[n_dev:]

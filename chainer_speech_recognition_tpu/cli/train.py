@@ -27,7 +27,15 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", default=None, help="override checkpoint dir")
     p.add_argument("--metrics", default=None, help="metrics JSONL path")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (numeric sanitizer, §5.2)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-14 (§5.1)")
     args = p.parse_args(argv)
+
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     cfg = load_config(args)
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.txt"))
@@ -40,7 +48,8 @@ def main(argv=None):
     dev_utts = load_index(dev_path) if os.path.exists(dev_path) else None
 
     train(cfg, train_utts, vocab, dev_utts=dev_utts,
-          metrics_path=args.metrics, resume=not args.no_resume)
+          metrics_path=args.metrics, resume=not args.no_resume,
+          profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

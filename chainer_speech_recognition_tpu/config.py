@@ -28,6 +28,8 @@ class FeatureConfig:
     log_eps: float = C.LOG_EPS
     delta_window: int = C.DELTA_WINDOW
     cmvn: bool = True               # per-utterance CMVN (config 3, BASELINE.json:9)
+    use_cache: bool = False         # feed precomputed .npy features instead of
+                                    # running the on-device front-end (§2.1)
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,7 @@ class Utterance:
     wav: str
     text: str
     num_samples: int
+    feat: str | None = None     # optional cached-feature .npy (SURVEY §2.1)
 
     @property
     def num_frames(self) -> int:

@@ -54,31 +54,63 @@ class BucketSampler:
 
 
 class BatchLoader:
-    """(bucket_id, utt indices) → padded host batch dict (static shapes)."""
+    """(bucket_id, utt indices) → padded host batch dict (static shapes).
+
+    Two modes (SURVEY.md §2.1 "Feature cache"):
+    * signals (default): pads raw PCM; features are computed on-device
+      inside the jitted train/eval step (the TPU-native path);
+    * cached features (``use_cached_features=True`` and utterances carry a
+      ``feat`` .npy path): pads precomputed [T, n_mels, 3] tensors — the
+      reference's precompute-to-disk workflow.
+    """
 
     def __init__(self, utts: list[Utterance], vocab: Vocab,
-                 bucket_cfg: BucketConfig, read_fn=read_wav):
+                 bucket_cfg: BucketConfig, read_fn=read_wav,
+                 use_cached_features: bool = False):
         self.utts = utts
         self.vocab = vocab
         self.shapes = bucket_shapes(bucket_cfg)
         self.read_fn = read_fn
+        self.use_cached_features = use_cached_features
+        if use_cached_features and any(u.feat is None for u in utts):
+            raise ValueError("use_cached_features=True but some utterances "
+                             "have no cached feature path (re-run preprocess "
+                             "with --cache-features)")
+
+    def _labels(self, idxs, shape):
+        B = len(idxs)
+        labels = np.full((B, shape.max_label_len), C.PAD_LABEL_ID, np.int32)
+        label_lengths = np.zeros(B, np.int32)
+        for i, u_idx in enumerate(idxs):
+            ids = self.vocab.encode(self.utts[int(u_idx)].text)
+            labels[i, : len(ids)] = ids
+            label_lengths[i] = len(ids)
+        return labels, label_lengths
 
     def load(self, bucket_id: int, idxs: np.ndarray) -> dict:
         shape: BucketShape = self.shapes[bucket_id]
+        labels, label_lengths = self._labels(idxs, shape)
         B = len(idxs)
+        if self.use_cached_features:
+            feats = np.zeros((B, shape.max_frames, C.N_MELS,
+                              C.N_FEATURE_CHANNELS), np.float32)
+            frame_lengths = np.zeros(B, np.int32)
+            for i, u_idx in enumerate(idxs):
+                f = np.load(self.utts[int(u_idx)].feat)
+                t = min(len(f), shape.max_frames)
+                feats[i, :t] = f[:t]
+                frame_lengths[i] = t
+            return {"features": feats, "frame_lengths": frame_lengths,
+                    "labels": labels, "label_lengths": label_lengths,
+                    "bucket_id": bucket_id}
         signals = np.zeros((B, shape.max_samples), np.float32)
         num_samples = np.zeros(B, np.int32)
-        labels = np.full((B, shape.max_label_len), C.PAD_LABEL_ID, np.int32)
-        label_lengths = np.zeros(B, np.int32)
         for i, u_idx in enumerate(idxs):
             u = self.utts[int(u_idx)]
             sig = self.read_fn(u.wav)
             n = min(len(sig), shape.max_samples)
             signals[i, :n] = sig[:n]
             num_samples[i] = n
-            ids = self.vocab.encode(u.text)
-            labels[i, : len(ids)] = ids
-            label_lengths[i] = len(ids)
         return {"signals": signals, "num_samples": num_samples,
                 "labels": labels, "label_lengths": label_lengths,
                 "bucket_id": bucket_id}

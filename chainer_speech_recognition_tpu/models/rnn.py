@@ -2,14 +2,16 @@
 (SURVEY.md §2.3/§3.3 — the recurrent hot loop of the acoustic model).
 
 TPU-first design decisions:
-* The input projection for ALL timesteps is hoisted out of the scan into one
-  large [B·T, D]×[D, G·H] matmul (MXU-saturating); the scan body performs
-  only the [B, H]×[H, G·H] recurrent matmul per step — the minimum
-  sequential work (SURVEY.md §7 hard-part 4: "single fused matmul per gate
-  block per step").
-* Both directions use the same per-step validity mask (t < length) with a
-  frozen carry, so the reverse scan never pollutes its state with padded
-  tail frames (hard-part 6); outputs at padded steps are zeroed.
+* The input projections for ALL timesteps and BOTH directions are hoisted
+  out of the scan into large MXU matmuls; the scan body performs only the
+  recurrent gate matmul — the minimum sequential work (SURVEY.md §7
+  hard-part 4: "single fused matmul per gate block per step").
+* BOTH directions run in ONE scan: the reversed stream is stacked on a
+  leading direction axis and the recurrent matmul is a 2-group batched
+  einsum, so the layer serializes over T once, not twice.
+* The reverse direction uses the same per-step validity mask (t < length)
+  with a frozen carry, so it never pollutes its state with padded tail
+  frames (hard-part 6); outputs at padded steps are zeroed.
 * Matmuls run in ``dtype`` (bf16 by default), the carry and gate
   nonlinearities stay fp32 for recurrence stability.
 """
@@ -29,25 +31,23 @@ def time_mask(T: int, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gru_step(h, xp, hp):
-    """h: [B,H] fp32; xp/hp: [B,3H] pre-activations (input/recurrent)."""
+    """h: [..., H] fp32; xp/hp: [..., 3H] pre-activations."""
     H = h.shape[-1]
-    xr, xz, xn = xp[:, :H], xp[:, H : 2 * H], xp[:, 2 * H :]
-    hr, hz, hn = hp[:, :H], hp[:, H : 2 * H], hp[:, 2 * H :]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
+    r = jax.nn.sigmoid(xp[..., :H] + hp[..., :H])
+    z = jax.nn.sigmoid(xp[..., H:2*H] + hp[..., H:2*H])
+    n = jnp.tanh(xp[..., 2*H:] + r * hp[..., 2*H:])
     return (1.0 - z) * n + z * h
 
 
 def _lstm_step(hc, xp, hp):
-    """hc: [B,2H] fp32 (h‖c); xp/hp: [B,4H] pre-activations."""
+    """hc: [..., 2H] fp32 (h‖c); xp/hp: [..., 4H] pre-activations."""
     H = hc.shape[-1] // 2
-    h, c = hc[:, :H], hc[:, H:]
+    h, c = hc[..., :H], hc[..., H:]
     g = xp + hp
-    i = jax.nn.sigmoid(g[:, :H])
-    f = jax.nn.sigmoid(g[:, H : 2 * H] + 1.0)   # forget bias +1
-    o = jax.nn.sigmoid(g[:, 2 * H : 3 * H])
-    u = jnp.tanh(g[:, 3 * H :])
+    i = jax.nn.sigmoid(g[..., :H])
+    f = jax.nn.sigmoid(g[..., H:2*H] + 1.0)   # forget bias +1
+    o = jax.nn.sigmoid(g[..., 2*H:3*H])
+    u = jnp.tanh(g[..., 3*H:])
     c_new = f * c + i * u
     h_new = o * jnp.tanh(c_new)
     return jnp.concatenate([h_new, c_new], axis=-1)
@@ -70,34 +70,36 @@ class BiRNNLayer(nn.Module):
         carry_dim = H if self.cell == "gru" else 2 * H
         mask = time_mask(T, lengths)                     # [B, T]
 
-        outs = []
-        for d, name in enumerate(("fwd", "bwd")):
-            # hoisted input projection: one big MXU matmul over all steps
-            xp = nn.Dense(ngates * H, dtype=self.dtype, param_dtype=jnp.float32,
-                          name=f"in_{name}")(x)          # [B, T, G·H]
-            w_h = self.param(f"rec_{name}", nn.initializers.orthogonal(),
-                             (H, ngates * H), jnp.float32)
-            xp_t = jnp.swapaxes(xp, 0, 1).astype(jnp.float32)  # [T, B, G·H]
-            m_t = jnp.swapaxes(mask, 0, 1)               # [T, B]
-            if d == 1:
-                xp_t, m_t = xp_t[::-1], m_t[::-1]
+        # hoisted input projections, one big MXU matmul per direction
+        xp_f = nn.Dense(ngates * H, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="in_fwd")(x)                # [B, T, G·H]
+        xp_b = nn.Dense(ngates * H, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="in_bwd")(x)
+        w_h = self.param("rec", nn.initializers.orthogonal(),
+                         (2, H, ngates * H), jnp.float32)
 
-            def step(h, inp, w_h=w_h, step_fn=step_fn, H=H):
-                xpt, m = inp
-                h_in = h[:, :H]                          # (h part for lstm)
-                hp = jnp.dot(h_in.astype(self.dtype), w_h.astype(self.dtype),
-                             preferred_element_type=jnp.float32)
-                h_new = step_fn(h, xpt, hp)
-                h_new = jnp.where(m[:, None], h_new, h)  # freeze at padding
-                return h_new, h_new[:, :H]
+        # stack (fwd, time-reversed bwd) on a direction axis: ONE scan
+        xf = jnp.swapaxes(xp_f, 0, 1).astype(jnp.float32)   # [T, B, G·H]
+        xb = jnp.swapaxes(xp_b, 0, 1).astype(jnp.float32)[::-1]
+        xs = jnp.stack([xf, xb], axis=1)                    # [T, 2, B, G·H]
+        m_t = jnp.swapaxes(mask, 0, 1)                      # [T, B]
+        ms = jnp.stack([m_t, m_t[::-1]], axis=1)            # [T, 2, B]
 
-            if self.remat:
-                step = jax.checkpoint(step)
-            h0 = jnp.zeros((B, carry_dim), jnp.float32)
-            _, ys = jax.lax.scan(step, h0, (xp_t, m_t))  # ys: [T, B, H]
-            if d == 1:
-                ys = ys[::-1]
-            outs.append(jnp.swapaxes(ys, 0, 1))          # [B, T, H]
+        def step(h, inp, w_h=w_h, step_fn=step_fn, H=H):
+            xpt, m = inp                                    # [2,B,G·H], [2,B]
+            h_in = h[..., :H]                               # (h part for lstm)
+            hp = jnp.einsum("dbh,dhg->dbg", h_in.astype(self.dtype),
+                            w_h.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+            h_new = step_fn(h, xpt, hp)
+            h_new = jnp.where(m[..., None], h_new, h)       # freeze at padding
+            return h_new, h_new[..., :H]
 
-        out = jnp.concatenate(outs, axis=-1)
+        if self.remat:
+            step = jax.checkpoint(step)
+        h0 = jnp.zeros((2, B, carry_dim), jnp.float32)
+        _, ys = jax.lax.scan(step, h0, (xs, ms))            # ys: [T, 2, B, H]
+        fwd = jnp.swapaxes(ys[:, 0], 0, 1)                  # [B, T, H]
+        bwd = jnp.swapaxes(ys[::-1, 1], 0, 1)
+        out = jnp.concatenate([fwd, bwd], axis=-1)
         return out * mask[:, :, None].astype(out.dtype)

@@ -59,13 +59,15 @@ def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
 
 def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
           dev_utts: list[Utterance] | None = None,
-          metrics_path: str | None = None, resume: bool = True):
+          metrics_path: str | None = None, resume: bool = True,
+          profile_dir: str | None = None):
     model = build_model(cfg.model)
     mesh = make_mesh(cfg.parallel)
     log = MetricsLogger(metrics_path)
 
     sampler = BucketSampler(train_utts, cfg.buckets, seed=cfg.train.seed)
-    loader = BatchLoader(train_utts, vocab, cfg.buckets)
+    loader = BatchLoader(train_utts, vocab, cfg.buckets,
+                         use_cached_features=cfg.features.use_cache)
     if sampler.num_dropped:
         log.log("data", dropped_utts=sampler.num_dropped,
                 total_utts=len(train_utts))
@@ -94,11 +96,13 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
     dev_batches = None
     if dev_utts:
         dev_sampler = BucketSampler(dev_utts, cfg.buckets, seed=0)
-        dev_loader = BatchLoader(dev_utts, vocab, cfg.buckets)
+        dev_loader = BatchLoader(dev_utts, vocab, cfg.buckets,
+                                 use_cached_features=cfg.features.use_cache)
         dev_batches = dev_sampler.epoch_batches(0)
 
     step = int(state.step)
     t_last, utts_since = time.perf_counter(), 0
+    seen_buckets: set[int] = set()
     epoch = 0
     done = False
     while not done:
@@ -110,10 +114,24 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
             continue
         for batch in Prefetcher(loader, batches[max(consumed, 0):]):
             bucket_id = batch.pop("bucket_id")
+            if profile_dir and step == 10:      # tracing window (§5.1)
+                jax.profiler.start_trace(profile_dir)
             sharded = shard_batch(mesh, batch)
-            state, m = train_step(state, sharded)
+            if bucket_id not in seen_buckets:   # per-bucket compile (§7.5)
+                t_c = time.perf_counter()
+                state, m = train_step(state, sharded)
+                jax.tree.map(lambda x: x.block_until_ready(), m)
+                log.log("compile", bucket_id=int(bucket_id),
+                        seconds=round(time.perf_counter() - t_c, 2))
+                seen_buckets.add(bucket_id)
+            else:
+                state, m = train_step(state, sharded)
             step += 1
-            utts_since += len(batch["num_samples"])
+            if profile_dir and step == 15:
+                jax.tree.map(lambda x: x.block_until_ready(), m)
+                jax.profiler.stop_trace()
+                log.log("profile", trace_dir=profile_dir, steps="10-14")
+            utts_since += batch["labels"].shape[0]
 
             if step % cfg.train.log_every == 0:
                 now = time.perf_counter()

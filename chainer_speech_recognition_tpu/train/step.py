@@ -39,8 +39,12 @@ def _mean_ctc(cfg: Config):
 
 
 def _forward_loss(model, cfg: Config, params, batch, rng, train: bool):
-    feats, flens = batch_features(
-        batch["signals"], batch["num_samples"], apply_cmvn=cfg.features.cmvn)
+    if "features" in batch:          # cached-feature batches (SURVEY §2.1)
+        feats, flens = batch["features"], batch["frame_lengths"]
+    else:                            # on-device front-end (default TPU path)
+        feats, flens = batch_features(
+            batch["signals"], batch["num_samples"],
+            apply_cmvn=cfg.features.cmvn)
     if train and cfg.specaugment.enabled:
         feats = apply_specaugment(rng, feats, flens, cfg.specaugment)
     logits, olens = model.apply(params, feats, flens)
@@ -81,16 +85,22 @@ def make_train_step(model, cfg: Config, mesh) -> Callable:
         metrics = {"loss": loss, "grad_norm": gnorm, "valid_frac": valid_frac}
         return new_state, metrics
 
-    batch_specs = {
-        "signals": P(axis), "num_samples": P(axis),
-        "labels": P(axis), "label_lengths": P(axis),
-    }
-    sharded = shard_map(
-        device_step, mesh=mesh,
-        in_specs=(P(), batch_specs), out_specs=(P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0,))
+    # one compiled shard_map per batch key-set (signals-mode vs cached-
+    # feature-mode batches carry different keys; shapes are per-bucket)
+    cache: dict = {}
+
+    def call(state, batch):
+        keys = tuple(sorted(batch.keys()))
+        if keys not in cache:
+            specs = {k: P(axis) for k in keys}
+            cache[keys] = jax.jit(
+                shard_map(device_step, mesh=mesh,
+                          in_specs=(P(), specs), out_specs=(P(), P()),
+                          check_vma=False),
+                donate_argnums=(0,))
+        return cache[keys](state, batch)
+
+    return call
 
 
 def make_eval_step(model, cfg: Config) -> Callable:
@@ -102,8 +112,12 @@ def make_eval_step(model, cfg: Config) -> Callable:
 
     @jax.jit
     def eval_step(params, batch):
-        feats, flens = batch_features(
-            batch["signals"], batch["num_samples"], apply_cmvn=cfg.features.cmvn)
+        if "features" in batch:
+            feats, flens = batch["features"], batch["frame_lengths"]
+        else:
+            feats, flens = batch_features(
+                batch["signals"], batch["num_samples"],
+                apply_cmvn=cfg.features.cmvn)
         logits, olens = model.apply(params, feats, flens)
         losses = ctc_loss(logits, olens, batch["labels"], batch["label_lengths"])
         return losses, logits, olens
