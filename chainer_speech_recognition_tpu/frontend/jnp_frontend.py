@@ -5,14 +5,18 @@ for every utterance ``b`` with ``num_samples[b] = L``, the first
 ``1 + L // HOP`` frames of the output are bit-comparable (fp32-allclose) to
 ``golden_np.features(signal[:L])``; frames beyond that are zeros.
 
-Design notes (TPU-first):
-* Framing + centered reflect padding are folded into ONE gather with
-  reflected sample indices, so per-utterance lengths never create dynamic
-  shapes — everything is static ``[B, T_max, ...]``.
-* The mel projection is a single fp32 matmul (MXU), the rest is VPU
-  elementwise; XLA fuses log/normalize into the matmul epilogue.
-* Δ/ΔΔ use clipped (edge-replicating) gathers driven by per-sample valid
-  lengths so padded tails never leak into valid frames.
+Design notes (TPU-first — gathers are poison on TPU, so there are none on
+the hot path):
+* Framing + centered reflect padding use NO gather: the padded signal is
+  reshaped to hop-sized rows and overlapping frames are assembled from FOUR
+  static shifted slices (HOP=160, N_FFT=512 ⇒ 512 = 3·160 + 32). The only
+  dynamic work is writing each utterance's 256 end-reflection samples —
+  one tiny [B, pad] gather + per-row dynamic_update_slice.
+* The mel projection is a single fp32 matmul (MXU); STFT is ``jnp.fft.rfft``
+  (XLA's native TPU lowering); elementwise stages fuse.
+* Δ/ΔΔ use shift-by-concat over time plus a [B, T, 1]-index gather (slice
+  size n_mels) only to realize per-utterance edge replication — index count
+  is B·T, not B·T·n_mels.
 
 Reference parity anchor: BASELINE.json:5 ("framing, STFT, mel filterbank,
 log-compression, delta/delta-delta features, utterance-level CMVN ... fused
@@ -30,7 +34,10 @@ import numpy as np
 from .. import constants as C
 from .golden_np import hann_periodic, mel_filterbank
 
-__all__ = ["batch_features", "frame_lengths"]
+__all__ = ["batch_features", "frame_lengths", "extend_signal", "frame_signal"]
+
+_PAD = C.N_FFT // 2                      # 256: centered-STFT reflect pad
+_K = C.N_FFT // C.HOP_LENGTH             # full hop rows per frame (3)
 
 
 def frame_lengths(num_samples: jnp.ndarray) -> jnp.ndarray:
@@ -39,44 +46,97 @@ def frame_lengths(num_samples: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _static_tables(n_frames: int):
-    """Static [T, n_fft] un-reflected sample offsets, window, mel matrix."""
-    pad = C.N_FFT // 2
-    t = np.arange(n_frames)[:, None] * C.HOP_LENGTH
-    k = np.arange(C.N_FFT)[None, :]
-    raw_idx = (t + k - pad).astype(np.int32)               # may be <0 or >=L
+def _tables():
     win = hann_periodic(C.WIN_LENGTH)
     lpad = (C.N_FFT - C.WIN_LENGTH) // 2
     win_full = np.zeros(C.N_FFT, dtype=np.float32)
     win_full[lpad : lpad + C.WIN_LENGTH] = win.astype(np.float32)
     mel = mel_filterbank().T                               # [n_bins, n_mels]
-    return raw_idx, win_full, mel
+    return win_full, mel
 
 
-def _reflect(idx: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
-    """np.pad mode='reflect' index map around [0, length)."""
-    idx = jnp.where(idx < 0, -idx, idx)
-    idx = jnp.where(idx >= length, 2 * length - 2 - idx, idx)
-    # second bounce is impossible for our pad sizes (pad << min signal len),
-    # but clip defensively so OOB can never occur for tiny signals.
-    return jnp.clip(idx, 0, jnp.maximum(length - 1, 0))
+def extend_signal(signals: jnp.ndarray, lengths: jnp.ndarray,
+                  n_rows: int) -> jnp.ndarray:
+    """[B, N] → [B, n_rows·HOP] centered-reflect-extended signal.
+
+    Position p of the result corresponds to original sample ``p - _PAD``:
+    the first _PAD samples are the static start reflection, and each
+    utterance's end reflection (samples L..L+_PAD-1 ≘ x[L-2]..x[L-1-_PAD])
+    is written at its dynamic offset. Samples between the end reflection
+    and the next utterance's padding stay zero (they only feed frames that
+    are masked out).
+    """
+    B, N = signals.shape
+    total = n_rows * C.HOP_LENGTH
+    x = signals.astype(jnp.float32)
+    head = x[:, 1 : _PAD + 1][:, ::-1]                     # reflect at start
+    body_len = total - _PAD
+    if body_len <= N:
+        body = x[:, :body_len]
+    else:
+        body = jnp.pad(x, ((0, 0), (0, body_len - N)))
+    ext = jnp.concatenate([head, body], axis=1)            # [B, total]
+
+    # end reflection: tail[k] = x[L - 2 - k], k = 0.._PAD-1 (tiny gather)
+    k = jnp.arange(_PAD, dtype=jnp.int32)[None, :]
+    src = jnp.clip(lengths[:, None] - 2 - k, 0, N - 1)
+    tail = jnp.take_along_axis(x, src, axis=1)             # [B, _PAD]
+
+    def put(row, t, off):
+        return jax.lax.dynamic_update_slice(row, t, (off,))
+
+    off = jnp.clip(lengths + _PAD, 0, total - _PAD).astype(jnp.int32)
+    return jax.vmap(put)(ext, tail, off)
 
 
-def _edge_gather(x: jnp.ndarray, shift: int, lengths: jnp.ndarray) -> jnp.ndarray:
-    """x[:, clip(t + shift, 0, len-1)] along time axis 1. x: [B, T, ...]."""
-    tmax = x.shape[1]
-    t = jnp.arange(tmax, dtype=jnp.int32) + shift
-    idx = jnp.clip(t[None, :], 0, (lengths - 1)[:, None]).astype(jnp.int32)
-    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
-    return jnp.take_along_axis(x, jnp.broadcast_to(idx, idx.shape[:2] + x.shape[2:]), axis=1)
+def frame_signal(ext: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """Extended signal [B, rows·HOP] → frames [B, n_frames, N_FFT] with NO
+    gather: hop-rows + _K+1 static shifted slices concatenated."""
+    B, total = ext.shape
+    rows = total // C.HOP_LENGTH
+    A = ext.reshape(B, rows, C.HOP_LENGTH)
+    parts = [A[:, s : s + n_frames] for s in range(_K)]
+    rem = C.N_FFT - _K * C.HOP_LENGTH                      # 32
+    if rem > 0:
+        parts.append(A[:, _K : _K + n_frames, :rem])
+    return jnp.concatenate(parts, axis=2)                  # [B, T, N_FFT]
+
+
+def _shift_time(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """x[:, t+shift] with edge replication at the PADDED array edges."""
+    if shift == 0:
+        return x
+    if shift > 0:
+        tail = jnp.repeat(x[:, -1:], shift, axis=1)
+        return jnp.concatenate([x[:, shift:], tail], axis=1)
+    s = -shift
+    head = jnp.repeat(x[:, :1], s, axis=1)
+    return jnp.concatenate([head, x[:, :-s]], axis=1)
+
+
+def _edge_fix(x: jnp.ndarray, shift: int, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Per-utterance edge-replicating shifted view: x[:, clip(t+shift, 0, L-1)].
+
+    Static shift + a boundary correction: only frames with t+shift >= L
+    need the clipped value x[:, L-1], realized as one [B, 1, F] gather.
+    """
+    shifted = _shift_time(x, shift)
+    if shift <= 0:
+        return shifted                      # start edge is static (t=0)
+    T = x.shape[1]
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    over = (t + shift) >= lengths[:, None]                 # [B, T]
+    last = jnp.take_along_axis(
+        x, (jnp.maximum(lengths - 1, 0))[:, None, None], axis=1)  # [B,1,F]
+    return jnp.where(over[:, :, None], last, shifted)
 
 
 def _delta(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """Regression deltas over time with per-sample edge replication."""
+    """Regression deltas over time with per-utterance edge replication."""
     denom = 2.0 * sum(n * n for n in range(1, C.DELTA_WINDOW + 1))
     out = jnp.zeros_like(x)
     for n in range(1, C.DELTA_WINDOW + 1):
-        out = out + n * (_edge_gather(x, n, lengths) - _edge_gather(x, -n, lengths))
+        out = out + n * (_edge_fix(x, n, lengths) - _edge_fix(x, -n, lengths))
     return out / denom
 
 
@@ -89,18 +149,13 @@ def batch_features(
     """Padded batch of signals → ([B, T_max, n_mels, 3] fp32, [B] frame lens)."""
     B, n_max = signals.shape
     t_max = C.num_frames(n_max)
-    raw_idx, win_full, mel = _static_tables(t_max)
-    raw_idx = jnp.asarray(raw_idx)                          # [T, n_fft]
+    win_full, mel = _tables()
     lengths = num_samples.astype(jnp.int32)
 
-    # --- framing via reflected gather (center pad folded in) -------------
-    # one flat gather along the sample axis: take_along_axis on [B, N] with
-    # [B, T*n_fft] indices — never materializes a [B, T, N] broadcast
-    idx = _reflect(raw_idx[None, :, :], lengths[:, None, None])  # [B,T,n_fft]
-    frames = jnp.take_along_axis(
-        signals.astype(jnp.float32), idx.reshape(B, -1), axis=1
-    ).reshape(B, t_max, C.N_FFT)
-    frames = frames * jnp.asarray(win_full)[None, None, :]
+    # --- framing (no gather: reflect-extend + static shifted slices) -----
+    n_rows = t_max + _K + 1
+    ext = extend_signal(signals, lengths, n_rows)
+    frames = frame_signal(ext, t_max) * jnp.asarray(win_full)[None, None, :]
 
     # --- STFT power → mel → log ------------------------------------------
     spec = jnp.fft.rfft(frames, n=C.N_FFT, axis=-1)
@@ -115,6 +170,7 @@ def batch_features(
 
     flens = frame_lengths(lengths)                          # [B]
     tmask = (jnp.arange(t_max)[None, :] < flens[:, None])   # [B, T]
+    logmel = logmel * tmask[..., None]                      # zero padded frames
 
     # --- per-utterance CMVN over valid frames -----------------------------
     if apply_cmvn:
@@ -123,6 +179,7 @@ def batch_features(
         mean = jnp.sum(logmel * m, axis=1, keepdims=True) / cnt
         var = jnp.sum(jnp.square(logmel - mean) * m, axis=1, keepdims=True) / cnt
         logmel = (logmel - mean) * jax.lax.rsqrt(var + C.CMVN_VAR_EPS)
+        logmel = logmel * m                                 # re-zero padding
 
     # --- Δ / ΔΔ with edge replication at each utterance's true edge -------
     d1 = _delta(logmel, flens)
