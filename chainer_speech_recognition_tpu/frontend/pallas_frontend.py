@@ -1,0 +1,131 @@
+"""Pallas fused front-end kernel: window → DFT → power → mel → log in one
+VMEM-resident pass (BASELINE.json:5 "the audio front-end ... becomes fused
+JAX/Pallas kernels feeding an HBM-resident padded-batch"; SURVEY.md §7
+Phase 3a).
+
+Division of labor:
+* XLA (jnp_frontend): reflect-extension + gather-free framing (reshape +
+  static slices) — layout transforms XLA compiles optimally;
+* Pallas (this kernel): everything between frames and log-mel. The frame
+  block is loaded to VMEM once and the windowing, the real/imag DFT
+  matmuls (MXU), the power, the mel projection (MXU) and the log run
+  back-to-back without touching HBM — the [B,T,257] power spectrum never
+  exists in memory, only the [B,T,n_mels] output is written.
+* CMVN + Δ/ΔΔ stay in XLA (cross-frame reductions over the whole
+  utterance; cheap elementwise).
+
+The DFT is two fp32 matmuls against precomputed windowed-DFT matrices
+(window folded in): mathematically identical to the golden rfft path up to
+fp32 summation order. Differential tests: tests/test_pallas_frontend.py.
+
+Note: ``jnp.fft.rfft`` on TPU is extremely fast, so the jnp path remains
+the default (frontend_impl="auto"); this kernel is the fused alternative
+(frontend_impl="pallas") and the building block for future full fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+from .golden_np import hann_periodic, mel_filterbank
+
+_NBINS = 1 + C.N_FFT // 2                 # 257
+_TTILE = 256                              # frames per grid step
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_tables():
+    """Windowed DFT matrices [N_FFT, 257] (fp32) + padded mel [257p, MELp]."""
+    n = C.N_FFT
+    t = np.arange(n)[:, None]
+    k = np.arange(_NBINS)[None, :]
+    ang = -2.0 * np.pi * t * k / n
+    win = hann_periodic(C.WIN_LENGTH)
+    lpad = (n - C.WIN_LENGTH) // 2
+    win_full = np.zeros(n)
+    win_full[lpad : lpad + C.WIN_LENGTH] = win
+    w_re = (np.cos(ang) * win_full[:, None]).astype(np.float32)
+    w_im = (np.sin(ang) * win_full[:, None]).astype(np.float32)
+    # pad the bin axis to a lane multiple; extra bins are zero rows in mel
+    nb_pad = -(-_NBINS // 128) * 128                       # 384
+    w_re = np.pad(w_re, ((0, 0), (0, nb_pad - _NBINS)))
+    w_im = np.pad(w_im, ((0, 0), (0, nb_pad - _NBINS)))
+    mel = mel_filterbank().T                               # [257, n_mels]
+    mel_pad = -(-C.N_MELS // 128) * 128                    # 128
+    mel_p = np.zeros((nb_pad, mel_pad), np.float32)
+    mel_p[:_NBINS, : C.N_MELS] = mel
+    return w_re, w_im, mel_p
+
+
+def _kernel(frames_ref, wre_ref, wim_ref, mel_ref, out_ref):
+    fr = frames_ref[0]                                     # [TTILE, N_FFT]
+    re = jnp.dot(fr, wre_ref[:, :], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    im = jnp.dot(fr, wim_ref[:, :], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    power = re * re + im * im                              # [TTILE, 384]
+    melspec = jnp.dot(power, mel_ref[:, :],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    out_ref[0] = jnp.log(jnp.maximum(melspec, C.LOG_EPS))
+
+
+def fused_logmel(frames: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, N_FFT] frames (un-windowed) → [B, T, n_mels] log-mel."""
+    B, T, _ = frames.shape
+    w_re, w_im, mel_p = _dft_tables()
+    t_pad = -(-T // _TTILE) * _TTILE
+    if t_pad != T:
+        frames = jnp.pad(frames, ((0, 0), (0, t_pad - T), (0, 0)))
+    grid = (B, t_pad // _TTILE)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TTILE, C.N_FFT), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((C.N_FFT, w_re.shape[1]), lambda b, t: (0, 0)),
+            pl.BlockSpec((C.N_FFT, w_im.shape[1]), lambda b, t: (0, 0)),
+            pl.BlockSpec(mel_p.shape, lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _TTILE, mel_p.shape[1]),
+                               lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, mel_p.shape[1]), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(frames, jnp.asarray(w_re), jnp.asarray(w_im), jnp.asarray(mel_p))
+    return out[:, :T, : C.N_MELS]
+
+
+@functools.partial(jax.jit, static_argnames=("apply_cmvn",))
+def batch_features_pallas(signals, num_samples, apply_cmvn: bool = True):
+    """Drop-in for jnp_frontend.batch_features using the fused kernel."""
+    from .jnp_frontend import _K, _delta, extend_signal, frame_lengths, frame_signal
+
+    B, n_max = signals.shape
+    t_max = C.num_frames(n_max)
+    lengths = num_samples.astype(jnp.int32)
+    ext = extend_signal(signals, lengths, t_max + _K + 1)
+    frames = frame_signal(ext, t_max)                      # no window here
+    logmel = fused_logmel(frames)                          # [B, T, n_mels]
+
+    flens = frame_lengths(lengths)
+    tmask = (jnp.arange(t_max)[None, :] < flens[:, None])
+    logmel = logmel * tmask[..., None]
+    if apply_cmvn:
+        m = tmask[..., None].astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(logmel * m, axis=1, keepdims=True) / cnt
+        var = jnp.sum(jnp.square(logmel - mean) * m, axis=1, keepdims=True) / cnt
+        logmel = (logmel - mean) * jax.lax.rsqrt(var + C.CMVN_VAR_EPS)
+        logmel = logmel * m
+    d1 = _delta(logmel, flens)
+    d2 = _delta(d1, flens)
+    feats = jnp.stack([logmel, d1, d2], axis=-1)
+    feats = feats * tmask[..., None, None].astype(feats.dtype)
+    return feats.astype(jnp.float32), flens

@@ -112,23 +112,37 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         if consumed >= len(batches):
             epoch += 1
             continue
-        for batch in Prefetcher(loader, batches[max(consumed, 0):]):
-            bucket_id = batch.pop("bucket_id")
+        # lookahead-1 device feeding: batch k+1's (async) host→device
+        # transfer is issued right after step k is dispatched, so the ICI/
+        # PCIe transfer overlaps step k's compute (SURVEY.md §2.2 Prefetcher)
+        it = iter(Prefetcher(loader, batches[max(consumed, 0):]))
+        pending = next(it, None)
+        pending_sharded = (shard_batch(
+            mesh, {k: v for k, v in pending.items() if k != "bucket_id"})
+            if pending is not None else None)
+        while pending is not None:
+            batch, sharded = pending, pending_sharded
+            bucket_id = batch["bucket_id"]
             if profile_dir and step == 10:      # tracing window (§5.1)
                 jax.profiler.start_trace(profile_dir)
-            sharded = shard_batch(mesh, batch)
             if bucket_id not in seen_buckets:   # per-bucket compile (§7.5)
                 t_c = time.perf_counter()
                 state, m = train_step(state, sharded)
-                jax.tree.map(lambda x: x.block_until_ready(), m)
+                _ = float(m["loss"])            # reliable drain (see bench.py)
                 log.log("compile", bucket_id=int(bucket_id),
                         seconds=round(time.perf_counter() - t_c, 2))
                 seen_buckets.add(bucket_id)
             else:
                 state, m = train_step(state, sharded)
             step += 1
+            # issue batch k+1's async host→device transfer while step k runs
+            pending = next(it, None)
+            if pending is not None:
+                pending_sharded = shard_batch(
+                    mesh, {k: v for k, v in pending.items()
+                           if k != "bucket_id"})
             if profile_dir and step == 15:
-                jax.tree.map(lambda x: x.block_until_ready(), m)
+                _ = float(m["loss"])
                 jax.profiler.stop_trace()
                 log.log("profile", trace_dir=profile_dir, steps="10-14")
             utts_since += batch["labels"].shape[0]
