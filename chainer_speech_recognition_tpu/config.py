@@ -53,6 +53,9 @@ class ModelConfig:
     rnn_type: str = "gru"           # "gru" | "lstm" | "none"
     rnn_layers: int = 3
     rnn_hidden: int = 256
+    glu_blocks: int = 0             # GLU-gated residual conv blocks after
+    glu_channels: int = 256         # subsampling (musyoku-style conv CTC)
+    rnn_impl: str = "auto"          # "auto" | "scan" | "pallas" (models/rnn.py)
     proj_dim: int = 0               # 0 = straight to vocab
     vocab_size: int = 64            # symbols INCLUDING blank (class 0)
     compute_dtype: str = C.COMPUTE_DTYPE
@@ -177,6 +180,14 @@ def preset_config(name: str) -> Config:
             "model.conv_channels": [16, 16],
             "model.rnn_layers": 0,
         })
+    if name == "glu_conv":         # musyoku-style conv-only CTC (GLU stack)
+        return base.override({
+            "model.preset": "glu_conv",
+            "model.rnn_type": "none",
+            "model.rnn_layers": 0,
+            "model.glu_blocks": 6,
+            "model.glu_channels": 256,
+        })
     if name == "bigru":            # config 2: conv subsampling + 3-layer BiGRU
         return base.override({
             "model.preset": "bigru",
@@ -188,7 +199,7 @@ def preset_config(name: str) -> Config:
             "model.preset": "bilstm_deep",
             "model.rnn_type": "lstm",
             "model.rnn_layers": 5,
-            "model.rnn_hidden": 320,
+            "model.rnn_hidden": 384,   # multiple of 128: Pallas RNN tiling
             "specaugment.enabled": True,
             "features.cmvn": True,
         })

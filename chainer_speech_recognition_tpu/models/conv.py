@@ -22,6 +22,34 @@ def conv_out_length(lengths: jnp.ndarray, stride: int) -> jnp.ndarray:
     return -(-lengths // stride)
 
 
+class GLUConvBlock(nn.Module):
+    """GLU-gated residual 1-D conv block over time (SURVEY.md §2.3 notes the
+    reference author's models featured GLU-gated residual conv stacks —
+    musyoku's conv-only CTC architectures). Operates on [B, T, D]:
+    ``y = x + (conv_a(x) * sigmoid(conv_b(x))) @ proj`` with time masking.
+    """
+
+    channels: int
+    kernel_time: int = 5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        kt = self.kernel_time
+        pad = ((kt - 1) // 2, kt // 2)
+        gates = nn.Conv(2 * self.channels, (kt,), padding=(pad,),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="glu_conv")(x)
+        a, b = gates[..., : self.channels], gates[..., self.channels:]
+        h = a * nn.sigmoid(b)
+        if x.shape[-1] != self.channels:
+            x = nn.Dense(self.channels, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="res_proj")(x)
+        y = x + h
+        tmask = (jnp.arange(y.shape[1])[None, :] < lengths[:, None])
+        return y * tmask[:, :, None].astype(y.dtype)
+
+
 class ConvSubsampler(nn.Module):
     channels: tuple[int, ...]
     kernel: tuple[int, int]

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from .conv import ConvSubsampler
+from .conv import ConvSubsampler, GLUConvBlock
 from .rnn import BiRNNLayer, time_mask
 
 
@@ -32,11 +32,15 @@ class AcousticModel(nn.Module):
             dtype=dtype,
         )(feats.astype(dtype), lengths)
 
+        for i in range(cfg.glu_blocks):
+            x = GLUConvBlock(channels=cfg.glu_channels, dtype=dtype,
+                             name=f"glu{i}")(x, lens)
+
         if cfg.rnn_type != "none":
             for i in range(cfg.rnn_layers):
                 x = BiRNNLayer(
                     hidden=cfg.rnn_hidden, cell=cfg.rnn_type, dtype=dtype,
-                    remat=cfg.remat_rnn, name=f"birnn{i}",
+                    remat=cfg.remat_rnn, impl=cfg.rnn_impl, name=f"birnn{i}",
                 )(x, lens)
 
         if cfg.proj_dim:

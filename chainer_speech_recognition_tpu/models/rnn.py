@@ -54,12 +54,18 @@ def _lstm_step(hc, xp, hp):
 
 
 class BiRNNLayer(nn.Module):
-    """One bidirectional GRU/LSTM layer: [B, T, D] → [B, T, 2H] (masked)."""
+    """One bidirectional GRU/LSTM layer: [B, T, D] → [B, T, 2H] (masked).
+
+    ``impl``: "auto" uses the fused Pallas scan kernel (ops/rnn_pallas.py)
+    on TPU when shapes satisfy its tiling (H % 128 == 0, 2B % 8 == 0) and
+    the ``lax.scan`` path otherwise; "scan"/"pallas" force one.
+    """
 
     hidden: int
     cell: str = "gru"                  # "gru" | "lstm"
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    impl: str = "auto"                 # "auto" | "scan" | "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -84,6 +90,27 @@ class BiRNNLayer(nn.Module):
         xs = jnp.stack([xf, xb], axis=1)                    # [T, 2, B, G·H]
         m_t = jnp.swapaxes(mask, 0, 1)                      # [T, B]
         ms = jnp.stack([m_t, m_t[::-1]], axis=1)            # [T, 2, B]
+
+        impl = self.impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    and H % 128 == 0 and (2 * B) % 8 == 0 else "scan")
+        if impl == "pallas":
+            from ..ops.rnn_pallas import birnn_pallas
+
+            lens_f = lengths.astype(jnp.float32)
+            lo = jnp.concatenate([jnp.zeros((B,), jnp.float32),
+                                  T - lens_f], axis=0)[:, None]   # [2B, 1]
+            hi = jnp.concatenate([lens_f,
+                                  jnp.full((B,), T, jnp.float32)],
+                                 axis=0)[:, None]
+            ys = birnn_pallas(xs.reshape(T, 2 * B, ngates * H),
+                              w_h, lo, hi, self.cell,
+                              jnp.dtype(self.dtype).name)
+            fwd = jnp.swapaxes(ys[:, :B], 0, 1)             # [B, T, H]
+            bwd = jnp.swapaxes(ys[::-1, B:], 0, 1)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+            return out * mask[:, :, None].astype(out.dtype)
 
         def step(h, inp, w_h=w_h, step_fn=step_fn, H=H):
             xpt, m = inp                                    # [2,B,G·H], [2,B]

@@ -1,0 +1,312 @@
+"""Fused bidirectional RNN scan as Pallas TPU kernels with a custom VJP
+(SURVEY.md §7 hard-part 4: the BiRNN time scan is the acoustic model's
+throughput limiter; "consider Pallas-fused LSTM step if XLA scan
+underperforms").
+
+Semantics are EXACTLY those of models/rnn.py's lax.scan path (same gate
+math, same freeze-at-padding masking, fp32 carries); models/rnn.py keeps
+the scan as the always-available fallback and the differential oracle
+(tests/test_rnn_pallas.py).
+
+Layout (per layer):
+  xs   [T, R, G·H] fp32  — input pre-activations, R = 2·B rows (fwd rows
+                           0..B-1 use w[0], bwd rows B..2B-1 use w[1]; the
+                           bwd stream is already time-reversed)
+  w    [2, H, G·H] fp32  — recurrent gate weights per direction
+  lo/hi [R, 1]    fp32   — row validity window: step t is live iff
+                           lo ≤ t < hi (fwd: [0, len); bwd: [T-len, T))
+  ys   [T, R, H]  fp32   — emitted carries (h), frozen outside [lo, hi)
+
+The forward kernel walks the time grid with h (‖c) resident in VMEM; the
+backward kernel re-walks it in reverse, recomputing gates from (xs, h_prev)
+— no gate activations are ever stored in HBM — accumulating dW in a VMEM
+scratch and streaming dxs back per step.
+
+Requires H % 128 == 0 and R % 8 == 0 on real TPU (callers pad or fall back
+to the scan path); interpret mode (CPU tests) has no such constraint.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _valid(lo_ref, hi_ref, t):
+    tf = jnp.float32(t)
+    return (lo_ref[:, :] <= tf) & (tf < hi_ref[:, :])      # [R, 1]
+
+
+def _dot2(x, w_ref, B, dtype, transpose=False):
+    """Per-direction matmul: rows [0:B] with w[0], rows [B:] with w[1]."""
+    w0, w1 = w_ref[0], w_ref[1]
+    if transpose:
+        w0, w1 = w0.T, w1.T
+    lo = jnp.dot(x[:B].astype(dtype), w0.astype(dtype),
+                 preferred_element_type=jnp.float32)
+    hi = jnp.dot(x[B:].astype(dtype), w1.astype(dtype),
+                 preferred_element_type=jnp.float32)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# GRU
+# ---------------------------------------------------------------------------
+
+def _gru_gates(xp, hp, h, H):
+    r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+    z = jax.nn.sigmoid(xp[:, H:2*H] + hp[:, H:2*H])
+    n = jnp.tanh(xp[:, 2*H:] + r * hp[:, 2*H:])
+    return r, z, n, (1.0 - z) * n + z * h
+
+
+def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref, ys_ref, h_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:, :] = jnp.zeros(h_scr.shape, jnp.float32)
+
+    h = h_scr[:, :]
+    xp = xs_ref[0]
+    hp = _dot2(h, w_ref, B, dtype)
+    _, _, _, h_new = _gru_gates(xp, hp, h, H)
+    h_new = jnp.where(_valid(lo_ref, hi_ref, t), h_new, h)
+    h_scr[:, :] = h_new
+    ys_ref[0] = h_new
+
+
+def _gru_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
+                    hprev_ref, g_ref, dxs_ref, dw_ref, dh_scr):
+    t_rev = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    t = n_t - 1 - t_rev
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_scr[:, :] = jnp.zeros(dh_scr.shape, jnp.float32)
+        dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, jnp.float32)
+
+    dh_total = g_ref[0] + dh_scr[:, :]                     # [R, H]
+    xp = xs_ref[0]
+    h_prev = hprev_ref[0]
+    hp = _dot2(h_prev, w_ref, B, dtype)
+    r, z, n, _ = _gru_gates(xp, hp, h_prev, H)
+    hn = hp[:, 2*H:]
+
+    dz_pre = dh_total * (h_prev - n) * z * (1.0 - z)
+    dn_pre = dh_total * (1.0 - z) * (1.0 - n * n)
+    dr_pre = dn_pre * hn * r * (1.0 - r)
+    dhn = dn_pre * r
+    dxp = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)   # [R, 3H]
+    dhp = jnp.concatenate([dr_pre, dz_pre, dhn], axis=1)
+    dh_prev = dh_total * z + _dot2(dhp, w_ref, B, dtype, transpose=True)
+
+    valid = _valid(lo_ref, hi_ref, t)
+    dxs_ref[0] = jnp.where(valid, dxp, 0.0)
+    dh_scr[:, :] = jnp.where(valid, dh_prev, dh_total)
+
+    dhp_m = jnp.where(valid, dhp, 0.0)
+    dw_ref[0] += jnp.dot(h_prev[:B].astype(dtype).T,
+                         dhp_m[:B].astype(dtype),
+                         preferred_element_type=jnp.float32)
+    dw_ref[1] += jnp.dot(h_prev[B:].astype(dtype).T,
+                         dhp_m[B:].astype(dtype),
+                         preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# LSTM
+# ---------------------------------------------------------------------------
+
+def _lstm_gates(xp, hp, H):
+    g = xp + hp
+    i = jax.nn.sigmoid(g[:, :H])
+    f = jax.nn.sigmoid(g[:, H:2*H] + 1.0)
+    o = jax.nn.sigmoid(g[:, 2*H:3*H])
+    u = jnp.tanh(g[:, 3*H:])
+    return i, f, o, u
+
+
+def _lstm_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
+                     ys_ref, cs_ref, hc_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hc_scr[:, :] = jnp.zeros(hc_scr.shape, jnp.float32)
+
+    h, c = hc_scr[:, :H], hc_scr[:, H:]
+    xp = xs_ref[0]
+    hp = _dot2(h, w_ref, B, dtype)
+    i, f, o, u = _lstm_gates(xp, hp, H)
+    c_new = f * c + i * u
+    h_new = o * jnp.tanh(c_new)
+    valid = _valid(lo_ref, hi_ref, t)
+    h_new = jnp.where(valid, h_new, h)
+    c_new = jnp.where(valid, c_new, c)
+    hc_scr[:, :] = jnp.concatenate([h_new, c_new], axis=1)
+    ys_ref[0] = h_new
+    cs_ref[0] = c_new
+
+
+def _lstm_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
+                     hprev_ref, cprev_ref, cs_ref, g_ref,
+                     dxs_ref, dw_ref, dhc_scr):
+    t_rev = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    t = n_t - 1 - t_rev
+
+    @pl.when(t_rev == 0)
+    def _():
+        dhc_scr[:, :] = jnp.zeros(dhc_scr.shape, jnp.float32)
+        dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, jnp.float32)
+
+    dh_total = g_ref[0] + dhc_scr[:, :H]
+    dc_carry = dhc_scr[:, H:]
+    xp = xs_ref[0]
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    c_t = cs_ref[0]
+    hp = _dot2(h_prev, w_ref, B, dtype)
+    i, f, o, u = _lstm_gates(xp, hp, H)
+
+    tc = jnp.tanh(c_t)
+    do_pre = dh_total * tc * o * (1.0 - o)
+    dc = dc_carry + dh_total * o * (1.0 - tc * tc)
+    df_pre = dc * c_prev * f * (1.0 - f)
+    di_pre = dc * u * i * (1.0 - i)
+    du_pre = dc * i * (1.0 - u * u)
+    dc_prev = dc * f
+    dg = jnp.concatenate([di_pre, df_pre, do_pre, du_pre], axis=1)  # [R,4H]
+    dh_prev = _dot2(dg, w_ref, B, dtype, transpose=True)
+
+    valid = _valid(lo_ref, hi_ref, t)
+    dxs_ref[0] = jnp.where(valid, dg, 0.0)
+    new_dh = jnp.where(valid, dh_prev, dh_total)
+    new_dc = jnp.where(valid, dc_prev, dc_carry)
+    dhc_scr[:, :] = jnp.concatenate([new_dh, new_dc], axis=1)
+
+    dg_m = jnp.where(valid, dg, 0.0)
+    dw_ref[0] += jnp.dot(h_prev[:B].astype(dtype).T, dg_m[:B].astype(dtype),
+                         preferred_element_type=jnp.float32)
+    dw_ref[1] += jnp.dot(h_prev[B:].astype(dtype).T, dg_m[B:].astype(dtype),
+                         preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# ---------------------------------------------------------------------------
+
+def _interp() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _specs_tbx(R, width):
+    return pl.BlockSpec((1, R, width), lambda i, t: (t, i, 0))
+
+
+def _specs_tbx_rev(R, width, T):
+    return pl.BlockSpec((1, R, width), lambda i, t: (T - 1 - t, i, 0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def birnn_pallas(xs, w, lo, hi, cell: str, dtype_name: str):
+    ys, _ = _fwd_impl(xs, w, lo, hi, cell, dtype_name)
+    return ys
+
+
+def _fwd_impl(xs, w, lo, hi, cell, dtype_name):
+    T, R, GH = xs.shape
+    H = w.shape[1]
+    B = R // 2
+    dtype = jnp.dtype(dtype_name)
+    grid = (1, T)
+    rw = lambda width: pl.BlockSpec((R, width), lambda i, t: (0, 0))
+    if cell == "gru":
+        kern = functools.partial(_gru_fwd_kernel, B, H, dtype)
+        ys = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[_specs_tbx(R, GH),
+                      pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
+                      rw(1), rw(1)],
+            out_specs=_specs_tbx(R, H),
+            out_shape=jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
+            interpret=_interp(),
+        )(xs, w, lo, hi)
+        return ys, None
+    kern = functools.partial(_lstm_fwd_kernel, B, H, dtype)
+    ys, cs = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[_specs_tbx(R, GH),
+                  pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
+                  rw(1), rw(1)],
+        out_specs=[_specs_tbx(R, H), _specs_tbx(R, H)],
+        out_shape=[jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+                   jax.ShapeDtypeStruct((T, R, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
+        interpret=_interp(),
+    )(xs, w, lo, hi)
+    return ys, cs
+
+
+def _birnn_fwd(xs, w, lo, hi, cell, dtype_name):
+    ys, cs = _fwd_impl(xs, w, lo, hi, cell, dtype_name)
+    return ys, (xs, w, lo, hi, ys, cs)
+
+
+def _shift_prev(ys):
+    """h_prev stream: [0, ys[0], ..., ys[T-2]]."""
+    return jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+
+
+def _birnn_bwd(cell, dtype_name, res, g):
+    xs, w, lo, hi, ys, cs = res
+    T, R, GH = xs.shape
+    H = w.shape[1]
+    B = R // 2
+    dtype = jnp.dtype(dtype_name)
+    grid = (1, T)
+    rw = lambda width: pl.BlockSpec((R, width), lambda i, t: (0, 0))
+    h_prev = _shift_prev(ys)
+    if cell == "gru":
+        kern = functools.partial(_gru_bwd_kernel, B, H, dtype)
+        dxs, dw = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[_specs_tbx_rev(R, GH, T),
+                      pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
+                      rw(1), rw(1),
+                      _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T)],
+            out_specs=[_specs_tbx_rev(R, GH, T),
+                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((T, R, GH), jnp.float32),
+                       jax.ShapeDtypeStruct(w.shape, jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
+            interpret=_interp(),
+        )(xs, w, lo, hi, h_prev, g)
+    else:
+        c_prev = _shift_prev(cs)
+        kern = functools.partial(_lstm_bwd_kernel, B, H, dtype)
+        dxs, dw = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[_specs_tbx_rev(R, GH, T),
+                      pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
+                      rw(1), rw(1),
+                      _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T),
+                      _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T)],
+            out_specs=[_specs_tbx_rev(R, GH, T),
+                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((T, R, GH), jnp.float32),
+                       jax.ShapeDtypeStruct(w.shape, jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
+            interpret=_interp(),
+        )(xs, w, lo, hi, h_prev, c_prev, cs, g)
+    return dxs, dw, jnp.zeros_like(lo), jnp.zeros_like(hi)
+
+
+birnn_pallas.defvjp(_birnn_fwd, _birnn_bwd)

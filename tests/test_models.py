@@ -30,7 +30,7 @@ def test_conv_out_length():
 
 
 @pytest.mark.parametrize("name,subsample", [
-    ("tiny_conv", 4), ("bigru", 4), ("bilstm_deep", 4)])
+    ("tiny_conv", 4), ("bigru", 4), ("bilstm_deep", 4), ("glu_conv", 4)])
 def test_preset_shapes(name, subsample):
     model = _model(name)
     B, T, F = 2, 37, 40
@@ -45,7 +45,8 @@ def test_preset_shapes(name, subsample):
     assert model.subsample_factor() == subsample
 
 
-@pytest.mark.parametrize("name", ["tiny_conv", "bigru", "bilstm_deep"])
+@pytest.mark.parametrize("name", ["tiny_conv", "bigru", "bilstm_deep",
+                                  "glu_conv"])
 def test_padding_invariance(name):
     """Valid-frame logits must not depend on batch padding length."""
     model = _model(name)
