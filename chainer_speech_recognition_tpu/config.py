@@ -30,6 +30,9 @@ class FeatureConfig:
     cmvn: bool = True               # per-utterance CMVN (config 3, BASELINE.json:9)
     use_cache: bool = False         # feed precomputed .npy features instead of
                                     # running the on-device front-end (§2.1)
+    frontend_impl: str = "auto"     # "auto" | "jnp" | "pallas": auto = fused
+                                    # Pallas kernel on TPU (1.6x), jnp rfft
+                                    # elsewhere
 
 
 @dataclass(frozen=True)

@@ -71,6 +71,11 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
     if sampler.num_dropped:
         log.log("data", dropped_utts=sampler.num_dropped,
                 total_utts=len(train_utts))
+    if not sampler.epoch_batches(0):
+        raise ValueError(
+            "no trainable batches: every utterance was filtered (too long "
+            "for the bucket boundaries / max_label_len) or buckets are "
+            "smaller than their batch sizes — adjust buckets.* config")
     waste = padding_waste([u.num_frames for u in train_utts], cfg.buckets)
     log.log("data", padding_waste=round(waste, 4),
             buckets=[len(b) for b in sampler.buckets])

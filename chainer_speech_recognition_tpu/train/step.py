@@ -25,6 +25,7 @@ from jax import shard_map
 
 from ..config import Config
 from ..frontend.jnp_frontend import batch_features
+from ..frontend.pallas_frontend import batch_features_pallas
 from ..ops.ctc_jax import ctc_loss, mean_ctc_loss
 from ..ops.ctc_pallas import mean_ctc_loss_pallas
 from ..ops.specaugment import apply_specaugment
@@ -38,11 +39,18 @@ def _mean_ctc(cfg: Config):
     return {"pallas": mean_ctc_loss_pallas, "jnp": mean_ctc_loss}[impl]
 
 
+def _frontend(cfg: Config):
+    impl = cfg.features.frontend_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return {"pallas": batch_features_pallas, "jnp": batch_features}[impl]
+
+
 def _forward_loss(model, cfg: Config, params, batch, rng, train: bool):
     if "features" in batch:          # cached-feature batches (SURVEY §2.1)
         feats, flens = batch["features"], batch["frame_lengths"]
     else:                            # on-device front-end (default TPU path)
-        feats, flens = batch_features(
+        feats, flens = _frontend(cfg)(
             batch["signals"], batch["num_samples"],
             apply_cmvn=cfg.features.cmvn)
     if train and cfg.specaugment.enabled:
@@ -115,7 +123,7 @@ def make_eval_step(model, cfg: Config) -> Callable:
         if "features" in batch:
             feats, flens = batch["features"], batch["frame_lengths"]
         else:
-            feats, flens = batch_features(
+            feats, flens = _frontend(cfg)(
                 batch["signals"], batch["num_samples"],
                 apply_cmvn=cfg.features.cmvn)
         logits, olens = model.apply(params, feats, flens)
