@@ -70,7 +70,10 @@ def main(argv=None):
             return beam_decode(logits, olens, beam=args.beam, lm=lm_dense,
                                alpha=args.lm_alpha, beta=args.lm_beta)
 
-    acc, loss = evaluate(eval_fn, loader, sampler.epoch_batches(0), vocab,
+    if sampler.num_dropped:
+        print(f"warning: {sampler.num_dropped}/{len(utts)} utterances exceed "
+              "the bucket boundaries / max_label_len and are NOT scored")
+    acc, loss = evaluate(eval_fn, loader, sampler.eval_batches(), vocab,
                          utts, decode_fn=decode_fn)
     print(f"checkpoint {path}")
     print(f"CER {acc.cer:.4f} | loss {loss:.4f} | {acc.num_utts} utts "

@@ -41,7 +41,8 @@ class BucketSampler:
                         for i in range(len(cfg.boundaries))]
 
     def epoch_batches(self, epoch: int) -> list[tuple[int, np.ndarray]]:
-        """Deterministic shuffled batch list for one epoch."""
+        """Deterministic shuffled batch list for one epoch (drops the
+        per-bucket remainder — training only)."""
         rng = np.random.default_rng([self.seed, epoch])
         batches = []
         for bid, (idxs, shape) in enumerate(zip(self.buckets, self.shapes)):
@@ -51,6 +52,23 @@ class BucketSampler:
                 batches.append((bid, perm[i : i + bs]))
         order = rng.permutation(len(batches))
         return [batches[i] for i in order]
+
+    def eval_batches(self) -> list[tuple[int, np.ndarray, int]]:
+        """Deterministic FULL coverage for evaluation: every utterance is
+        scored exactly once. Partial final batches are padded (static
+        shapes!) by repeating the first utterance; the third element is the
+        number of REAL utterances in the batch — score only those."""
+        batches = []
+        for bid, (idxs, shape) in enumerate(zip(self.buckets, self.shapes)):
+            bs = shape.batch_size
+            for i in range(0, len(idxs), bs):
+                chunk = idxs[i : i + bs]
+                n_valid = len(chunk)
+                if n_valid < bs:
+                    pad = np.full(bs - n_valid, chunk[0], dtype=chunk.dtype)
+                    chunk = np.concatenate([chunk, pad])
+                batches.append((bid, chunk, n_valid))
+        return batches
 
 
 class BatchLoader:

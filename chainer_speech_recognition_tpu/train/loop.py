@@ -39,18 +39,20 @@ def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
     """
     acc = CERAccumulator()
     total_loss, n = 0.0, 0
-    for bid, idxs in batches:
+    for entry in batches:
+        bid, idxs = entry[0], entry[1]
+        n_valid = entry[2] if len(entry) > 2 else len(idxs)
         batch = loader.load(bid, idxs)
         losses, logits, olens = eval_step(batch)
         if decode_fn is None:
             ids, out_lens = greedy_decode(logits, olens)
             ids, out_lens = np.asarray(ids), np.asarray(out_lens)
-            hyps = [list(ids[i, : out_lens[i]]) for i in range(len(idxs))]
+            hyps = [list(ids[i, : out_lens[i]]) for i in range(n_valid)]
         else:
             hyps = decode_fn(logits, olens)
-        losses = np.asarray(losses)
-        for i, u_idx in enumerate(idxs):
-            acc.add(vocab.decode(hyps[i]), utts[int(u_idx)].text)
+        losses = np.asarray(losses)[:n_valid]
+        for i in range(n_valid):
+            acc.add(vocab.decode(hyps[i]), utts[int(idxs[i])].text)
         fin = np.isfinite(losses) & (losses < 1e29)
         total_loss += float(losses[fin].sum())
         n += int(fin.sum())
@@ -103,7 +105,7 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         dev_sampler = BucketSampler(dev_utts, cfg.buckets, seed=0)
         dev_loader = BatchLoader(dev_utts, vocab, cfg.buckets,
                                  use_cached_features=cfg.features.use_cache)
-        dev_batches = dev_sampler.epoch_batches(0)
+        dev_batches = dev_sampler.eval_batches()   # full dev coverage
 
     step = int(state.step)
     t_last, utts_since = time.perf_counter(), 0

@@ -63,6 +63,24 @@ def test_assign_bucket_and_waste():
     assert abs(w - (1 - 150 / 200)) < 1e-9
 
 
+def test_eval_batches_full_coverage(tmp_path):
+    """eval_batches must score EVERY kept utterance exactly once, padding
+    partial batches with repeats (static shapes) + an n_valid count."""
+    root = str(tmp_path / "corpus")
+    _make_corpus(root, n=23)
+    utts = scan_corpus(root)
+    cfg = BucketConfig(boundaries=(64, 128), batch_sizes=(4, 4),
+                       max_label_len=8)
+    s = BucketSampler(utts, cfg, seed=0)
+    seen = []
+    for bid, idxs, n_valid in s.eval_batches():
+        assert len(idxs) == s.shapes[bid].batch_size  # static shape
+        assert 1 <= n_valid <= len(idxs)
+        seen.extend(int(i) for i in idxs[:n_valid])
+    kept = sorted(int(i) for b in s.buckets for i in b)
+    assert sorted(seen) == kept, "every kept utterance scored exactly once"
+
+
 def test_sampler_determinism_and_shapes(tmp_path):
     root = str(tmp_path / "corpus")
     _make_corpus(root, n=24)
