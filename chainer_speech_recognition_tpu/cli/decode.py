@@ -8,7 +8,6 @@ Greedy by default; ``--beam K`` switches to prefix beam search, and
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax.numpy as jnp
 import numpy as np

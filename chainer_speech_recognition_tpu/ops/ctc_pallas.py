@@ -21,8 +21,6 @@ loss + gradient parity forever (SURVEY.md §7 hard-part 1 mitigation).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,7 +20,6 @@ from ..data.corpus import Utterance
 from ..data.sampler import BatchLoader, BucketSampler, Prefetcher
 from ..decode.greedy import greedy_decode
 from ..decode.metrics import CERAccumulator
-from ..frontend.jnp_frontend import batch_features
 from ..models.presets import build_model
 from ..parallel.mesh import make_mesh, shard_batch
 from ..vocab import Vocab

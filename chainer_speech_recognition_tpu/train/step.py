@@ -14,11 +14,9 @@ Per-bucket static shapes → one XLA compile per bucket (SURVEY.md §2.2).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map

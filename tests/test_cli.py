@@ -81,3 +81,14 @@ def test_cli_end_to_end(tmp_path, capsys):
     out_line = [l for l in capsys.readouterr().out.splitlines()
                 if l.startswith(wav)][0]
     assert "\t" in out_line
+
+    # beam + LM through the CLI surface (config 4)
+    from chainer_speech_recognition_tpu.cli import train_lm as train_lm_cli
+    train_lm_cli.main(["--data-dir", out, "--order", "2"])
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--beam", "4", "--lm",
+                       os.path.join(out, "lm_2gram.arpa"),
+                       "--lm-alpha", "0.3", "--lm-beta", "0.5"])
+    beam_line = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("CER")][0]
+    assert "CER" in beam_line
