@@ -57,6 +57,21 @@ def test_pallas_vs_jnp_scan_big():
     np.testing.assert_allclose(gp, gj, atol=2e-4)
 
 
+def test_pallas_multi_lane_tile_S():
+    """S > 128 exercises multi-lane-tile shifts/rolls (CSJ-scale labels).
+    Verified bitwise-equal losses on real TPU at Sp=256/384 as well."""
+    logits, tl, ll, labels = _case(seed=11, B=4, T=120, V=40, L=70)  # S=141
+    args = (jnp.asarray(tl), jnp.asarray(labels), jnp.asarray(ll))
+    lp = np.asarray(ctc_loss_pallas(jnp.asarray(logits), *args))
+    lj = np.asarray(ctc_loss(jnp.asarray(logits), *args))
+    np.testing.assert_allclose(lp, lj, atol=2e-4, rtol=1e-5)
+    gp = np.asarray(jax.grad(lambda lg: jnp.sum(
+        ctc_loss_pallas(lg, *args)))(jnp.asarray(logits)))
+    gj = np.asarray(jax.grad(lambda lg: jnp.sum(
+        ctc_loss(lg, *args)))(jnp.asarray(logits)))
+    np.testing.assert_allclose(gp, gj, atol=5e-4)
+
+
 def test_pallas_impossible_and_empty():
     logits = np.random.default_rng(5).standard_normal((2, 4, 6)).astype(np.float32)
     labels = np.array([[1, 2, 3, 4, 5], [0, 0, 0, 0, 0]])
