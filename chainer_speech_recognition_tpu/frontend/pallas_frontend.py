@@ -81,20 +81,23 @@ def fused_logmel(frames: jnp.ndarray) -> jnp.ndarray:
     """[B, T, N_FFT] frames (un-windowed) → [B, T, n_mels] log-mel."""
     B, T, _ = frames.shape
     w_re, w_im, mel_p = _dft_tables()
-    t_pad = -(-T // _TTILE) * _TTILE
+    # tile adapts to short buckets (sublane multiple of 8) so a T=64 bucket
+    # doesn't pay for a 256-frame tile
+    ttile = min(_TTILE, -(-T // 8) * 8)
+    t_pad = -(-T // ttile) * ttile
     if t_pad != T:
         frames = jnp.pad(frames, ((0, 0), (0, t_pad - T), (0, 0)))
-    grid = (B, t_pad // _TTILE)
+    grid = (B, t_pad // ttile)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _TTILE, C.N_FFT), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, ttile, C.N_FFT), lambda b, t: (b, t, 0)),
             pl.BlockSpec((C.N_FFT, w_re.shape[1]), lambda b, t: (0, 0)),
             pl.BlockSpec((C.N_FFT, w_im.shape[1]), lambda b, t: (0, 0)),
             pl.BlockSpec(mel_p.shape, lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, _TTILE, mel_p.shape[1]),
+        out_specs=pl.BlockSpec((1, ttile, mel_p.shape[1]),
                                lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, t_pad, mel_p.shape[1]), jnp.float32),
         interpret=jax.default_backend() == "cpu",
