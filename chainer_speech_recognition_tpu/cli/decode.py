@@ -14,7 +14,7 @@ import numpy as np
 
 from .. import constants as C
 from ..decode.greedy import greedy_decode
-from ..frontend.jnp_frontend import batch_features
+from ..frontend import select_frontend
 from ..utils.wav import read_wav
 from ..vocab import Vocab
 from .evaluate import load_model_and_params
@@ -44,8 +44,9 @@ def main(argv=None):
         signals[i, : len(s)] = s
         lens[i] = len(s)
 
-    feats, flens = batch_features(jnp.asarray(signals), jnp.asarray(lens),
-                                  apply_cmvn=cfg.features.cmvn)
+    # same front-end implementation the checkpoint was trained with
+    feats, flens = select_frontend(cfg.features)(
+        jnp.asarray(signals), jnp.asarray(lens), apply_cmvn=cfg.features.cmvn)
     logits, olens = model.apply(state.params, feats, flens)
 
     if args.beam > 0:

@@ -22,8 +22,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..config import Config
-from ..frontend.jnp_frontend import batch_features
-from ..frontend.pallas_frontend import batch_features_pallas
+from ..frontend import select_frontend
 from ..ops.ctc_jax import ctc_loss, mean_ctc_loss
 from ..ops.ctc_pallas import mean_ctc_loss_pallas
 from ..ops.specaugment import apply_specaugment
@@ -38,10 +37,7 @@ def _mean_ctc(cfg: Config):
 
 
 def _frontend(cfg: Config):
-    impl = cfg.features.frontend_impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    return {"pallas": batch_features_pallas, "jnp": batch_features}[impl]
+    return select_frontend(cfg.features)
 
 
 def _forward_loss(model, cfg: Config, params, batch, rng, train: bool):
