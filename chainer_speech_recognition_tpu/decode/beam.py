@@ -202,10 +202,11 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         cand_hash, parent, char = flat(cand_hash), flat(parent), flat(char)
 
         # ---- merge duplicates: sort by hash, segmented lse ---------------
-        order = jnp.argsort(cand_hash, axis=1)
-        take = lambda x: jnp.take_along_axis(x, order, axis=1)
-        s_hash, s_pb, s_pnb = take(cand_hash), take(cand_pb), take(cand_pnb)
-        s_parent, s_char = take(parent), take(char)
+        # one multi-operand sort (gathers are slow on TPU; argsort +
+        # take_along_axis per payload was the beam's dominant cost)
+        s_hash, s_pb, s_pnb, s_parent, s_char = jax.lax.sort(
+            (cand_hash, cand_pb, cand_pnb, parent, char),
+            dimension=1, num_keys=1)
         seg_start = jnp.concatenate(
             [jnp.ones((B, 1), bool), s_hash[:, 1:] != s_hash[:, :-1]], axis=1)
         m_pb = _segmented_lse_scan(s_pb, seg_start)
