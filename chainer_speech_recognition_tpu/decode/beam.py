@@ -30,8 +30,13 @@ from ..constants import BLANK_ID
 from .lm import NGramLM
 
 LOG_ZERO = -1.0e30
+# DOUBLE rolling hash: two independent (multiplier, modulus) pairs sorted
+# as a compound key — int32 arithmetic overflows (wrapping mod 2^32) weaken
+# a single hash, but a simultaneous collision in both is ~2^-60-rare.
 _HASH_MULT = 1000003
 _HASH_MOD = 2**30 - 35          # prime, keeps hashes positive int32
+_HASH_MULT2 = 754_877
+_HASH_MOD2 = 2**30 - 173        # a different prime
 
 
 def _lse(a, b):
@@ -153,6 +158,8 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
     pnb = jnp.full((B, K), LOG_ZERO, jnp.float32)
     hashes = jnp.broadcast_to(-jnp.arange(1, K + 1, dtype=jnp.int32)[None],
                               (B, K)).at[:, 0].set(1)
+    hashes2 = jnp.broadcast_to(-jnp.arange(1, K + 1, dtype=jnp.int32)[None],
+                               (B, K)).at[:, 0].set(2)
     last = jnp.zeros((B, K), jnp.int32)               # 0 = none
     ctx = jnp.zeros((B, K), jnp.int32)                # LM context id
     pfx = jnp.full((B, K, max_len), -1, jnp.int32)
@@ -161,7 +168,7 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
     v_ids = jnp.arange(V, dtype=jnp.int32)[None, None, :]   # [1,1,V]
 
     def step(state, xs):
-        pb, pnb, hashes, last, ctx, pfx, plen = state
+        pb, pnb, hashes, hashes2, last, ctx, pfx, plen = state
         lp, t = xs                                     # [B,V], scalar
         total = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO), pnb)
         total = jnp.where(jnp.maximum(pb, pnb) <= LOG_ZERO / 2, LOG_ZERO, total)
@@ -191,6 +198,9 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         ext_hash = ((hashes[:, :, None] % _HASH_MOD) * _HASH_MULT
                     + v_ids) % _HASH_MOD
         cand_hash = jnp.where(v_ids == 0, hashes[:, :, None], ext_hash)
+        ext_hash2 = ((hashes2[:, :, None] % _HASH_MOD2) * _HASH_MULT2
+                     + v_ids) % _HASH_MOD2
+        cand_hash2 = jnp.where(v_ids == 0, hashes2[:, :, None], ext_hash2)
         parent = jnp.broadcast_to(
             jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, V))
         char = jnp.where(v_ids == 0, -1, v_ids)
@@ -200,15 +210,18 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         flat = lambda x: x.reshape(B, N)
         cand_pb, cand_pnb = flat(cand_pb), flat(cand_pnb)
         cand_hash, parent, char = flat(cand_hash), flat(parent), flat(char)
+        cand_hash2 = flat(cand_hash2)
 
-        # ---- merge duplicates: sort by hash, segmented lse ---------------
+        # ---- merge duplicates: sort by hash pair, segmented lse ----------
         # one multi-operand sort (gathers are slow on TPU; argsort +
         # take_along_axis per payload was the beam's dominant cost)
-        s_hash, s_pb, s_pnb, s_parent, s_char = jax.lax.sort(
-            (cand_hash, cand_pb, cand_pnb, parent, char),
-            dimension=1, num_keys=1)
+        s_hash, s_hash2, s_pb, s_pnb, s_parent, s_char = jax.lax.sort(
+            (cand_hash, cand_hash2, cand_pb, cand_pnb, parent, char),
+            dimension=1, num_keys=2)
         seg_start = jnp.concatenate(
-            [jnp.ones((B, 1), bool), s_hash[:, 1:] != s_hash[:, :-1]], axis=1)
+            [jnp.ones((B, 1), bool),
+             (s_hash[:, 1:] != s_hash[:, :-1])
+             | (s_hash2[:, 1:] != s_hash2[:, :-1])], axis=1)
         m_pb = _segmented_lse_scan(s_pb, seg_start)
         m_pnb = _segmented_lse_scan(s_pnb, seg_start)
         seg_end = jnp.concatenate(
@@ -222,6 +235,7 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         g = lambda x: jnp.take_along_axis(x, top_idx, axis=1)
         n_pb, n_pnb = g(m_pb), g(m_pnb)
         n_hash, n_parent, n_char = g(s_hash), g(s_parent), g(s_char)
+        n_hash2 = g(s_hash2)
 
         # ---- rebuild prefix bookkeeping -----------------------------------
         par = n_parent[:, :, None]
@@ -245,13 +259,13 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         sel = lambda n, o: jnp.where(alive, n, o)
         sel3 = lambda n, o: jnp.where(alive[:, :, None], n, o)
         return (sel(n_pb, pb), sel(n_pnb, pnb), sel(n_hash, hashes),
-                sel(new_last, last), sel(new_ctx, ctx),
+                sel(n_hash2, hashes2), sel(new_last, last), sel(new_ctx, ctx),
                 sel3(new_pfx, pfx), sel(new_plen, plen)), None
 
     lp_tm = jnp.swapaxes(lp_all, 0, 1)                 # [T,B,V]
     ts = jnp.arange(T, dtype=jnp.int32)
-    (pb, pnb, hashes, last, ctx, pfx, plen), _ = jax.lax.scan(
-        step, (pb, pnb, hashes, last, ctx, pfx, plen), (lp_tm, ts))
+    (pb, pnb, hashes, hashes2, last, ctx, pfx, plen), _ = jax.lax.scan(
+        step, (pb, pnb, hashes, hashes2, last, ctx, pfx, plen), (lp_tm, ts))
 
     final = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO / 2),
                           jnp.maximum(pnb, LOG_ZERO / 2))
