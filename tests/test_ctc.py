@@ -113,3 +113,33 @@ def test_optax_cross_check():
         jnp.asarray(logits), jnp.asarray(lpad),
         jnp.asarray(np.where(labpad > 0, 0, labels)), jnp.asarray(labpad)))
     np.testing.assert_allclose(ours, theirs, atol=5e-2, rtol=1e-3)
+
+
+def test_fuzz_shapes_vs_optax_and_pallas():
+    """Randomized shape/length fuzz: jnp scan vs optax vs Pallas (interpret)
+    across 8 configurations — loss agreement at fp32 tolerances."""
+    import optax
+    from chainer_speech_recognition_tpu.ops.ctc_pallas import ctc_loss_pallas
+
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        B = int(rng.integers(1, 7))
+        T = int(rng.integers(6, 40))
+        V = int(rng.integers(3, 50))
+        L = int(rng.integers(1, max(2, T // 2)))
+        logits = rng.standard_normal((B, T, V)).astype(np.float32) * 3
+        tl = rng.integers(max(2 * L + 1, 1), T + 1, B)
+        ll = rng.integers(0, L + 1, B)
+        labels = rng.integers(1, V, (B, L))
+        args = (jnp.asarray(tl), jnp.asarray(labels), jnp.asarray(ll))
+        ours = np.asarray(ctc_loss(jnp.asarray(logits), *args))
+        pall = np.asarray(ctc_loss_pallas(jnp.asarray(logits), *args))
+        np.testing.assert_allclose(pall, ours, atol=3e-4, rtol=1e-4,
+                                   err_msg=f"trial {trial}")
+        lpad = (np.arange(T)[None] >= tl[:, None]).astype(np.float32)
+        labpad = (np.arange(L)[None] >= ll[:, None]).astype(np.float32)
+        theirs = np.asarray(optax.ctc_loss(
+            jnp.asarray(logits), jnp.asarray(lpad),
+            jnp.asarray(np.where(labpad > 0, 0, labels)), jnp.asarray(labpad)))
+        np.testing.assert_allclose(ours, theirs, atol=5e-2, rtol=2e-3,
+                                   err_msg=f"trial {trial}")
