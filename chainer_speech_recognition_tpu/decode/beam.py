@@ -134,10 +134,10 @@ def beam_decode(logits, lengths, beam: int = 8, lm=None,
         lm_table, lm_order = jnp.zeros((1, V), jnp.float32), 1
         alpha = beta = 0.0      # no LM ⇒ no fusion score, no length bonus
 
-    prefixes, lens, scores = _beam_decode_jit(
+    tb_parent, tb_char, order, final = _beam_decode_jit(
         jnp.asarray(logits), jnp.asarray(lengths), beam, max_len,
         lm_table, lm_order, float(alpha), float(beta))
-    prefixes, lens = np.asarray(prefixes), np.asarray(lens)
+    prefixes, lens = _reconstruct(tb_parent, tb_char, order, max_len)
     return [list(prefixes[b, 0, : lens[b, 0]]) for b in range(B)]
 
 
@@ -162,13 +162,11 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
                                (B, K)).at[:, 0].set(2)
     last = jnp.zeros((B, K), jnp.int32)               # 0 = none
     ctx = jnp.zeros((B, K), jnp.int32)                # LM context id
-    pfx = jnp.full((B, K, max_len), -1, jnp.int32)
-    plen = jnp.zeros((B, K), jnp.int32)
 
     v_ids = jnp.arange(V, dtype=jnp.int32)[None, None, :]   # [1,1,V]
 
     def step(state, xs):
-        pb, pnb, hashes, hashes2, last, ctx, pfx, plen = state
+        pb, pnb, hashes, hashes2, last, ctx = state
         lp, t = xs                                     # [B,V], scalar
         total = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO), pnb)
         total = jnp.where(jnp.maximum(pb, pnb) <= LOG_ZERO / 2, LOG_ZERO, total)
@@ -237,18 +235,11 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         n_hash, n_parent, n_char = g(s_hash), g(s_parent), g(s_char)
         n_hash2 = g(s_hash2)
 
-        # ---- rebuild prefix bookkeeping -----------------------------------
-        par = n_parent[:, :, None]
-        new_pfx = jnp.take_along_axis(
-            pfx, jnp.broadcast_to(par, (B, K, pfx.shape[2])), axis=1)
-        new_plen = jnp.take_along_axis(plen, n_parent, axis=1)
+        # ---- small per-beam bookkeeping (prefixes are reconstructed from
+        # the (parent, char) traceback on the host after the scan) ---------
         new_last = jnp.take_along_axis(last, n_parent, axis=1)
         new_ctx = jnp.take_along_axis(ctx, n_parent, axis=1)
         extend = n_char >= 0
-        pos = jax.lax.broadcasted_iota(jnp.int32, (B, K, pfx.shape[2]), 2)
-        at_pos = (pos == new_plen[:, :, None]) & extend[:, :, None]
-        new_pfx = jnp.where(at_pos, n_char[:, :, None], new_pfx)
-        new_plen = new_plen + extend.astype(jnp.int32)
         new_last = jnp.where(extend, n_char, new_last)
         if lm_order > 1:
             rolled = (new_ctx * V + jnp.maximum(n_char, 0)) % C
@@ -257,21 +248,68 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         # ---- freeze past utterance end -------------------------------------
         alive = (t < lengths)[:, None]
         sel = lambda n, o: jnp.where(alive, n, o)
-        sel3 = lambda n, o: jnp.where(alive[:, :, None], n, o)
-        return (sel(n_pb, pb), sel(n_pnb, pnb), sel(n_hash, hashes),
-                sel(n_hash2, hashes2), sel(new_last, last), sel(new_ctx, ctx),
-                sel3(new_pfx, pfx), sel(new_plen, plen)), None
+        k_ident = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K))
+        tb_parent = jnp.where(alive, n_parent, k_ident)   # frozen: identity
+        tb_char = jnp.where(alive, n_char, -1)            # frozen: no symbol
+        return ((sel(n_pb, pb), sel(n_pnb, pnb), sel(n_hash, hashes),
+                 sel(n_hash2, hashes2), sel(new_last, last),
+                 sel(new_ctx, ctx)),
+                (tb_parent, tb_char))
 
     lp_tm = jnp.swapaxes(lp_all, 0, 1)                 # [T,B,V]
     ts = jnp.arange(T, dtype=jnp.int32)
-    (pb, pnb, hashes, hashes2, last, ctx, pfx, plen), _ = jax.lax.scan(
-        step, (pb, pnb, hashes, hashes2, last, ctx, pfx, plen), (lp_tm, ts))
+    (pb, pnb, hashes, hashes2, last, ctx), (tb_parent, tb_char) = jax.lax.scan(
+        step, (pb, pnb, hashes, hashes2, last, ctx), (lp_tm, ts))
 
     final = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO / 2),
                           jnp.maximum(pnb, LOG_ZERO / 2))
-    order = jnp.argsort(-final, axis=1)
-    pfx = jnp.take_along_axis(
-        pfx, jnp.broadcast_to(order[:, :, None], pfx.shape), axis=1)
-    plen = jnp.take_along_axis(plen, order, axis=1)
+    order = jnp.argsort(-final, axis=1)                # [B, K] best-first
     final = jnp.take_along_axis(final, order, axis=1)
-    return pfx, plen, final
+    return tb_parent, tb_char, order, final
+
+
+def _reconstruct(tb_parent, tb_char, order, max_len):
+    """Host traceback: [T,B,K] (parent, char) + final beam order ->
+    (pfx [B,K,max_len] int32, -1-padded, plen [B,K])."""
+    tb_parent = np.asarray(tb_parent)
+    tb_char = np.asarray(tb_char)
+    order = np.asarray(order)
+    T, B, K = tb_parent.shape
+    pfx = np.full((B, K, max_len), -1, np.int32)
+    plen = np.zeros((B, K), np.int32)
+    cur = order.copy()                                 # beam index at step T-1
+    rev = [[[] for _ in range(K)] for _ in range(B)]
+    rows = np.arange(B)[:, None]
+    for t in range(T - 1, -1, -1):
+        ch = tb_char[t][rows, cur]                     # [B, K]
+        for b in range(B):
+            for k in range(K):
+                if ch[b, k] >= 0:
+                    rev[b][k].append(int(ch[b, k]))
+        cur = tb_parent[t][rows, cur]
+    for b in range(B):
+        for k in range(K):
+            ids = rev[b][k][::-1][:max_len]
+            pfx[b, k, : len(ids)] = ids
+            plen[b, k] = len(ids)
+    return pfx, plen
+
+
+def beam_decode_nbest(logits, lengths, beam: int = 8, lm=None,
+                      alpha: float = 0.5, beta: float = 1.0,
+                      max_len: int | None = None):
+    """n-best variant: -> (pfx [B,K,max_len], plen [B,K], scores [B,K])."""
+    B, T, V = logits.shape
+    max_len = max_len or T
+    if isinstance(lm, NGramLM):
+        lm = lm.to_dense()
+    if lm is not None:
+        lm_table, lm_order = jnp.asarray(lm[0], jnp.float32), int(lm[1])
+    else:
+        lm_table, lm_order = jnp.zeros((1, V), jnp.float32), 1
+        alpha = beta = 0.0
+    tb_parent, tb_char, order, final = _beam_decode_jit(
+        jnp.asarray(logits), jnp.asarray(lengths), beam, max_len,
+        lm_table, lm_order, float(alpha), float(beta))
+    pfx, plen = _reconstruct(tb_parent, tb_char, order, max_len)
+    return pfx, plen, np.asarray(final)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from chainer_speech_recognition_tpu.decode.beam import (
-    _beam_decode_jit, beam_decode, beam_decode_reference)
+    beam_decode, beam_decode_nbest, beam_decode_reference)
 from chainer_speech_recognition_tpu.decode.lm import NGramLM
 from chainer_speech_recognition_tpu.vocab import Vocab
 
@@ -47,10 +47,8 @@ def test_beam_exact_vs_enumeration():
     lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))[0]
     exact = _exhaustive(lp)
     assert beam_decode_reference(lp, 4, beam=32) == list(exact[0][0])
-    pfx, plen, final = _beam_decode_jit(
-        jnp.asarray(logits), jnp.asarray([4]), 16, 4,
-        jnp.zeros((1, 3), jnp.float32), 1, 0.0, 1.0)
-    pfx, plen, final = np.asarray(pfx), np.asarray(plen), np.asarray(final)
+    pfx, plen, final = beam_decode_nbest(logits, np.asarray([4]), beam=16,
+                                         max_len=4)
     for k in range(4):   # top-4 prefixes AND their scores match enumeration
         assert list(pfx[0, k, : plen[0, k]]) == list(exact[k][0])
         assert abs(final[0, k] - np.log(exact[k][1])) < 1e-3
