@@ -136,25 +136,48 @@ class BatchLoader:
 
 class Prefetcher:
     """Single background thread + bounded queue: loads batch k+1..k+depth
-    from disk while the device runs batch k (SURVEY.md §3.2 hot loop)."""
+    from disk while the device runs batch k (SURVEY.md §3.2 hot loop).
+
+    ``stop()`` (or abandoning iteration early, e.g. total_steps reached
+    mid-epoch) unblocks and terminates the loader thread promptly instead
+    of leaving it parked on a full queue.
+    """
 
     def __init__(self, loader: BatchLoader, batches, depth: int = 4):
         self.loader = loader
         self.batches = batches
         self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         try:
             for bid, idxs in self.batches:
-                self.q.put(self.loader.load(bid, idxs))
+                if self._stop.is_set():
+                    return
+                item = self.loader.load(bid, idxs)
+                while not self._stop.is_set():
+                    try:
+                        self.q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         finally:
-            self.q.put(None)
+            try:
+                self.q.put_nowait(None)
+            except queue.Full:
+                pass
+
+    def stop(self):
+        self._stop.set()
 
     def __iter__(self):
-        while True:
-            item = self.q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = self.q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            self.stop()

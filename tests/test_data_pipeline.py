@@ -106,3 +106,23 @@ def test_sampler_determinism_and_shapes(tmp_path):
         assert batch["labels"].shape == (shape.batch_size, shape.max_label_len)
         assert (batch["num_samples"] > 0).all()
         assert (batch["label_lengths"] > 0).all()
+
+
+def test_prefetcher_early_stop(tmp_path):
+    """Abandoning iteration early must terminate the loader thread."""
+    import time
+    root = str(tmp_path / "corpus")
+    _make_corpus(root, n=24)
+    utts = scan_corpus(root)
+    cfg = BucketConfig(boundaries=(64,), batch_sizes=(2,), max_label_len=8)
+    vocab = build_vocab(utts)
+    s = BucketSampler(utts, cfg, seed=0)
+    loader = BatchLoader(utts, vocab, cfg)
+    pf = Prefetcher(loader, s.epoch_batches(0), depth=1)
+    it = iter(pf)
+    next(it)                      # consume one batch, abandon the rest
+    it.close()                    # generator finally → stop()
+    deadline = time.time() + 5.0
+    while pf._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not pf._thread.is_alive(), "prefetch thread failed to stop"
