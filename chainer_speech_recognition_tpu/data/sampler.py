@@ -164,10 +164,14 @@ class Prefetcher:
                     except queue.Full:
                         continue
         finally:
-            try:
-                self.q.put_nowait(None)
-            except queue.Full:
-                pass
+            # the end-of-stream sentinel must not be dropped when the queue
+            # is momentarily full, or the consumer waits forever
+            while not self._stop.is_set():
+                try:
+                    self.q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def stop(self):
         self._stop.set()
