@@ -181,7 +181,10 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         base = jnp.where(v_ids == last[:, :, None], pb[:, :, None],
                          total[:, :, None])
         ext_pnb = base + lp_b                          # [B,K,V]
-        if lm_order > 1 or alpha != 0.0:
+        # fusion whenever an LM was passed (callers zero alpha AND beta when
+        # lm is None): a unigram LM with alpha=0, beta!=0 must still apply
+        # the insertion bonus, matching beam_decode_reference
+        if alpha != 0.0 or beta != 0.0:
             lm_row = lm_table[ctx]                     # [B,K,V]
             ext_pnb = ext_pnb + alpha * lm_row + beta
         ext_pnb = jnp.where(v_ids == 0, LOG_ZERO, ext_pnb)

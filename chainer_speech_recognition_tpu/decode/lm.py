@@ -127,8 +127,12 @@ class NGramLM:
                     continue
                 ctx, char = tuple(ids[:-1]), ids[-1]
                 lm.logp[n - 1].setdefault(ctx, {})[char] = logp10 * LOG10
-                if len(row) > 2:
-                    lm.backoff[n - 1][ctx + (char,)] = float(row[2]) * LOG10
+                # backoff weight of the n-gram *as a context*: key length is
+                # n, so it lives at backoff[n] (train()/score()/to_arpa()
+                # all index backoff by key length). Max-order grams can
+                # never be a context, so ARPA backoff on them is dropped.
+                if len(row) > 2 and n < order:
+                    lm.backoff[n][ctx + (char,)] = float(row[2]) * LOG10
         return lm
 
     def to_arpa(self, path: str, vocab: Vocab) -> None:
@@ -161,17 +165,40 @@ class NGramLM:
         n = min(self.order, max_order or self.order)
         V = self.V
         C = V ** (n - 1)
-        table = np.empty((C, V), np.float32)
-        # fill by full backoff evaluation for every (context, char)
-        for cid in range(C):
-            ctx = []
-            rem = cid
-            for _ in range(n - 1):
-                ctx.append(rem % V)
-                rem //= V
-            ctx = tuple(c for c in ctx[::-1] if c != 0)  # strip blank=BOS
-            for ch in range(V):
-                table[cid, ch] = self.score(ctx, ch)
+        # Level-by-level backoff unrolling (replaces ~C*V recursive score()
+        # calls with a handful of NumPy broadcasts). score()'s recursion is
+        #   S_k[ctx, ch] = logp[k][ctx][ch]                 if present
+        #                  backoff[k].get(ctx, 0) + S_{k-1}[ctx[1:], ch]  else
+        # so each level table is: broadcast the shorter level, add backoff
+        # weights, then overwrite explicit probabilities.
+        levels: list[np.ndarray] = []
+        t0 = np.full((V,), math.log(1.0 / V), np.float32)
+        for ch, lp in self.logp[0].get((), {}).items():
+            t0[ch] = lp
+        levels.append(t0)
+        for k in range(1, n):
+            tk = np.broadcast_to(levels[k - 1], (V,) * k + (V,)).copy()
+            for ctx, bo in self.backoff[k].items():
+                if len(ctx) == k and bo:
+                    tk[ctx] += bo
+            for ctx, probs in self.logp[k].items():
+                if len(ctx) != k:
+                    continue
+                row = tk[ctx]
+                for ch, lp in probs.items():
+                    row[ch] = lp
+            levels.append(tk)
+        # Dense table rows: full-length contexts map straight onto the top
+        # level; contexts containing blank=0 (BOS padding) are re-looked-up
+        # with zeros stripped — only ~C - (V-1)^(n-1) of them, loop is cheap.
+        table = levels[n - 1].reshape(C, V).copy()
+        if n > 1:
+            digits = np.stack(
+                [(np.arange(C) // V ** i) % V for i in range(n - 2, -1, -1)],
+                axis=1)                       # [C, n-1] oldest char first
+            for cid in np.nonzero((digits == 0).any(axis=1))[0]:
+                ctx = tuple(int(c) for c in digits[cid] if c != 0)
+                table[cid] = levels[len(ctx)][ctx]
         table[:, 0] = 0.0        # blank: no LM cost (CTC blank ≠ a word)
         return table, n
 

@@ -233,7 +233,11 @@ def _ctc_ext_bwd(res, g):
     lp_p, a2_p, sv_p, tl_p, ll_p, *_ = _pad_args(
         lp_ext, allow2, s_valid, t_len, lab_len)
     logp = jnp.pad(-loss, (0, Bp - B))[:, None]             # [Bp, 1]
-    g_p = jnp.pad(g.astype(jnp.float32), (0, Bp - B))[:, None]
+    # Impossible samples (no valid alignment: loss saturates at ~-LOG_ZERO)
+    # get exactly zero gradient, matching the jnp scan and the golden
+    # oracle — exp(alpha+beta-lp-logP) is numerically garbage there.
+    g = jnp.where(loss < -LOG_ZERO / 2, g.astype(jnp.float32), 0.0)
+    g_p = jnp.pad(g, (0, Bp - B))[:, None]
     d_lp = _run_bwd(lp_p, a2_p, sv_p, tl_p, ll_p, alphas, logp, g_p, dims)
     z = lambda x: jnp.zeros_like(x)
     return d_lp, z(allow2), z(s_valid), z(t_len), z(lab_len)

@@ -33,12 +33,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, config: Config,
         f.write(flax.serialization.to_bytes(state))
     os.replace(tmp, path)
 
+    # always rewrite atomically: retraining into an existing dir with a
+    # different config must not leave a stale frozen config that decode/
+    # evaluate would reconstruct the wrong model and front-end from
     cfg_path = os.path.join(ckpt_dir, "config.json")
-    if not os.path.exists(cfg_path):
-        tmp = cfg_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(config.to_json())
-        os.replace(tmp, cfg_path)
+    tmp = cfg_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(config.to_json())
+    os.replace(tmp, cfg_path)
 
     for old in list_checkpoints(ckpt_dir)[:-keep]:
         os.remove(os.path.join(ckpt_dir, old))

@@ -32,7 +32,10 @@ def _build() -> str | None:
     so_path = os.path.join(out_dir, f"csr_native_{tag}.so")
     if os.path.exists(so_path):
         return so_path
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+    # portable flags: the .so is a build artifact (gitignored), but keep it
+    # ISA-safe anyway — -march=native would SIGILL if the cache dir ever
+    # moved hosts, and the hot loops here are memory-bound DP/parse code.
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
            "-o", so_path + ".tmp", _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -67,6 +70,16 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32)]
+    # probe before trusting a cached binary: a known-answer call catches a
+    # stale/incompatible .so here instead of deep inside a training run
+    a = np.asarray([1, 2, 3], np.int32)
+    b = np.asarray([1, 3], np.int32)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    if lib.edit_distance_i32(a.ctypes.data_as(i32), 3,
+                             b.ctypes.data_as(i32), 2) != 1:
+        print("[csr_native] self-test failed, using Python fallbacks",
+              file=sys.stderr)
+        return None
     _LIB = lib
     return _LIB
 

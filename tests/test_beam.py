@@ -124,11 +124,49 @@ def test_lm_fusion_changes_decode_consistently():
     assert [int(x) for x in lm_dev[0]] == lm_ref
 
 
+def test_unigram_lm_beta_only_matches_reference():
+    """order-1 LM with alpha=0 but beta!=0: the insertion bonus must still
+    apply on device (regression: fusion was gated on order>1 or alpha!=0)."""
+    vocab, _ = _toy_lm_vocab()
+    lm = NGramLM.train(["あいう"] * 10, vocab, order=1)
+    logits = _logits(9, 3, 12, len(vocab), scale=1.5)
+    lens = np.asarray([12, 9, 7])
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    dev = beam_decode(logits, lens, beam=8, lm=lm, alpha=0.0, beta=1.5)
+    for b in range(3):
+        ref = beam_decode_reference(lp[b], lens[b], beam=8, lm=lm,
+                                    alpha=0.0, beta=1.5)
+        assert [int(x) for x in dev[b]] == ref, b
+
+
 def test_arpa_roundtrip(tmp_path):
     vocab, lm = _toy_lm_vocab()
     path = str(tmp_path / "lm.arpa")
     lm.to_arpa(path, vocab)
     lm2 = NGramLM.from_arpa(path, vocab)
     a, i, u = vocab.encode("あ")[0], vocab.encode("い")[0], vocab.encode("う")[0]
-    for ctx, c in [((a,), i), ((a, i), u), ((), a), ((u,), i)]:
+    # ((i,), i) is unseen after a context with NONZERO backoff weight:
+    # regression for from_arpa storing backoff at the wrong level, which
+    # silently dropped every backoff weight (over-scored continuations).
+    assert lm.backoff[1].get((i,), 0.0) != 0.0
+    for ctx, c in [((a,), i), ((a, i), u), ((), a), ((u,), i), ((i,), i)]:
         assert abs(lm.score(ctx, c) - lm2.score(ctx, c)) < 1e-4
+    np.testing.assert_allclose(lm2.to_dense()[0], lm.to_dense()[0], atol=1e-4)
+
+
+def test_to_dense_matches_score_recursion():
+    """Vectorized to_dense must equal per-entry score() evaluation,
+    including blank-padded (BOS) context rows, for a trigram LM."""
+    vocab = Vocab.build(["あいう", "ういあ", "あいあ"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 9 + ["ういあ"] * 4 + ["あいあ"] * 2,
+                       vocab, order=3)
+    dense, order = lm.to_dense()
+    V = len(vocab)
+    assert order == 3 and dense.shape == (V * V, V)
+    for cid in range(V * V):
+        raw = (cid // V, cid % V)            # oldest first
+        ctx = tuple(c for c in raw if c != 0)
+        for ch in range(1, V):
+            np.testing.assert_allclose(dense[cid, ch], lm.score(ctx, ch),
+                                       atol=1e-5, err_msg=f"{raw} {ch}")
+    assert (dense[:, 0] == 0.0).all()

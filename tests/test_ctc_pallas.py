@@ -86,6 +86,13 @@ def test_pallas_impossible_and_empty():
         jnp.asarray(logits), jnp.asarray([4, 4]), jnp.asarray(labels),
         jnp.asarray([5, 0]))
     assert float(vf) == 0.5
+    # impossible sample must contribute EXACTLY zero gradient (matches the
+    # jnp scan + golden oracle) even through bare ctc_loss_pallas
+    grad = np.asarray(jax.grad(lambda lg: jnp.sum(ctc_loss_pallas(
+        lg, jnp.asarray([4, 4]), jnp.asarray(labels), jnp.asarray([5, 0]))))(
+        jnp.asarray(logits)))
+    assert np.all(grad[0] == 0.0), np.abs(grad[0]).max()
+    assert np.isfinite(grad[1]).all() and np.abs(grad[1]).max() > 0
 
 
 def test_pallas_time_padding_invariance():
