@@ -26,6 +26,12 @@ def main(argv=None):
                         "default and needs no cache)")
     p.add_argument("--no-cmvn", action="store_true",
                    help="with --cache-features: skip utterance CMVN")
+    p.add_argument("--unit", default="char", choices=["char", "mora"],
+                   help="label unit segmenter (vocab.py SEGMENTERS)")
+    p.add_argument("--pack", action="store_true",
+                   help="also write packed binary corpora (train.pack / "
+                        "dev.pack): mmap-able int16 PCM + pre-encoded "
+                        "labels — the fast training input (data/packed.py)")
     args = p.parse_args(argv)
 
     utts = scan_corpus(args.corpus)
@@ -59,10 +65,20 @@ def main(argv=None):
     save_index(os.path.join(args.out, "train_index.jsonl"), tr)
     if dev:
         save_index(os.path.join(args.out, "dev_index.jsonl"), dev)
-    vocab = build_vocab(utts)
+    vocab = build_vocab(utts, unit=args.unit)
     vocab.save(os.path.join(args.out, "vocab.txt"))
     print(f"indexed {len(tr)} train / {len(dev)} dev utterances, "
           f"vocab size {len(vocab)}")
+
+    if args.pack:
+        from ..data.packed import pack_corpus
+
+        for name, subset in (("train", tr), ("dev", dev)):
+            if subset:
+                pack_path, _ = pack_corpus(
+                    os.path.join(args.out, name), subset, vocab)
+                print(f"packed {len(subset)} utterances -> {pack_path} "
+                      f"({os.path.getsize(pack_path) / 1e6:.1f} MB)")
 
     if args.stats:
         frames = [u.num_frames for u in utts]

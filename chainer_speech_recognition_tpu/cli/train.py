@@ -43,13 +43,24 @@ def main(argv=None):
     if args.ckpt_dir:
         cfg = cfg.override({"train.checkpoint_dir": args.ckpt_dir})
 
-    train_utts = load_index(os.path.join(args.data_dir, "train_index.jsonl"))
+    loader = None
+    pack_prefix = os.path.join(args.data_dir, "train")
+    if os.path.exists(pack_prefix + ".pack"):
+        # packed binary corpus (preprocess --pack): memmap loader, int16 wire
+        from ..data.packed import PackedBatchLoader, PackedCorpus
+
+        packed = PackedCorpus(pack_prefix)
+        train_utts = packed.utterances()
+        loader = PackedBatchLoader(packed, cfg.buckets)
+    else:
+        train_utts = load_index(
+            os.path.join(args.data_dir, "train_index.jsonl"))
     dev_path = os.path.join(args.data_dir, "dev_index.jsonl")
     dev_utts = load_index(dev_path) if os.path.exists(dev_path) else None
 
     train(cfg, train_utts, vocab, dev_utts=dev_utts,
           metrics_path=args.metrics, resume=not args.no_resume,
-          profile_dir=args.profile_dir)
+          profile_dir=args.profile_dir, loader=loader)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,13 @@ from . import constants as C
 
 @dataclass(frozen=True)
 class FeatureConfig:
+    """DSP parameters are the FROZEN parity contract (constants.py): they
+    are recorded here so every checkpoint's config.json documents the
+    front-end it was trained with, but they are not tunable — all three
+    front-end implementations (golden/jnp/Pallas) are specialized to the
+    constants, so any override fails loudly at construction instead of
+    silently training against a 40-mel front-end (round-1 Weak #3)."""
+
     sample_rate: int = C.SAMPLE_RATE
     n_fft: int = C.N_FFT
     win_length: int = C.WIN_LENGTH
@@ -33,6 +40,23 @@ class FeatureConfig:
     frontend_impl: str = "auto"     # "auto" | "jnp" | "pallas": auto = fused
                                     # Pallas kernel on TPU (1.6x), jnp rfft
                                     # elsewhere
+
+    _FROZEN = {
+        "sample_rate": C.SAMPLE_RATE, "n_fft": C.N_FFT,
+        "win_length": C.WIN_LENGTH, "hop_length": C.HOP_LENGTH,
+        "n_mels": C.N_MELS, "fmin": C.MEL_FMIN, "fmax": C.MEL_FMAX,
+        "log_eps": C.LOG_EPS, "delta_window": C.DELTA_WINDOW,
+    }
+
+    def __post_init__(self):
+        for name, want in self._FROZEN.items():
+            got = getattr(self, name)
+            if got != want:
+                raise ValueError(
+                    f"features.{name}={got!r} differs from the frozen parity "
+                    f"constant {want!r} (constants.py) — the DSP parameters "
+                    "are not tunable; change constants.py and regenerate the "
+                    "golden fixtures if you really mean to move the spec")
 
 
 @dataclass(frozen=True)
@@ -99,6 +123,14 @@ class ParallelConfig:
 class TrainConfig:
     ctc_impl: str = "auto"      # "auto" | "pallas" | "jnp"; auto = pallas
                                 # kernel on TPU, lax.scan elsewhere
+    data_mode: str = "auto"     # "auto" | "stream" | "device_cache":
+                                # device_cache keeps the padded corpus in
+                                # HBM (sharded over the mesh) and sends only
+                                # [B] indices per step; auto picks it when
+                                # the corpus fits device_cache_budget_gb
+    device_cache_budget_gb: float = 4.0
+    loader_workers: int = 4     # Prefetcher threads (stream mode)
+    prefetch_depth: int = 8     # batches in flight ahead of the device
     seed: int = 0
     total_steps: int = 10_000
     log_every: int = 50

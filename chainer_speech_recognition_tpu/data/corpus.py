@@ -67,5 +67,5 @@ def load_index(path: str) -> list[Utterance]:
     return utts
 
 
-def build_vocab(utts: list[Utterance]) -> Vocab:
-    return Vocab.build([u.text for u in utts])
+def build_vocab(utts: list[Utterance], unit="char") -> Vocab:
+    return Vocab.build([u.text for u in utts], unit=unit)

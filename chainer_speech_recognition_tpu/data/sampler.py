@@ -8,7 +8,8 @@ reproduces training exactly.
 
 from __future__ import annotations
 
-import queue
+import collections
+import concurrent.futures
 import threading
 
 import numpy as np
@@ -40,16 +41,24 @@ class BucketSampler:
         self.buckets = [np.nonzero(keep & (bidx == i))[0]
                         for i in range(len(cfg.boundaries))]
 
-    def epoch_batches(self, epoch: int) -> list[tuple[int, np.ndarray]]:
-        """Deterministic shuffled batch list for one epoch (drops the
-        per-bucket remainder — training only)."""
+    def epoch_batches(self, epoch: int) -> list[tuple[int, np.ndarray, int]]:
+        """Deterministic shuffled batch list for one epoch: (bucket_id,
+        utt indices [batch_size], n_valid). The per-bucket remainder is
+        padded to the static batch shape by repeating its first utterance;
+        n_valid < batch_size marks the padded rows, which the loader masks
+        to zero sample weight (they contribute NO gradient)."""
         rng = np.random.default_rng([self.seed, epoch])
         batches = []
         for bid, (idxs, shape) in enumerate(zip(self.buckets, self.shapes)):
             perm = idxs[rng.permutation(len(idxs))]
             bs = shape.batch_size
             for i in range(0, len(perm) - bs + 1, bs):
-                batches.append((bid, perm[i : i + bs]))
+                batches.append((bid, perm[i : i + bs], bs))
+            rem = len(perm) % bs
+            if rem:
+                chunk = perm[len(perm) - rem:]
+                pad = np.full(bs - rem, chunk[0], dtype=chunk.dtype)
+                batches.append((bid, np.concatenate([chunk, pad]), rem))
         order = rng.permutation(len(batches))
         return [batches[i] for i in order]
 
@@ -105,10 +114,15 @@ class BatchLoader:
             label_lengths[i] = len(ids)
         return labels, label_lengths
 
-    def load(self, bucket_id: int, idxs: np.ndarray) -> dict:
+    def load(self, bucket_id: int, idxs: np.ndarray,
+             n_valid: int | None = None) -> dict:
         shape: BucketShape = self.shapes[bucket_id]
         labels, label_lengths = self._labels(idxs, shape)
         B = len(idxs)
+        extra = {}
+        if n_valid is not None and n_valid < B:   # masked remainder padding
+            extra["sample_weight"] = (
+                np.arange(B) < n_valid).astype(np.float32)
         if self.use_cached_features:
             feats = np.zeros((B, shape.max_frames, C.N_MELS,
                               C.N_FEATURE_CHANNELS), np.float32)
@@ -120,7 +134,7 @@ class BatchLoader:
                 frame_lengths[i] = t
             return {"features": feats, "frame_lengths": frame_lengths,
                     "labels": labels, "label_lengths": label_lengths,
-                    "bucket_id": bucket_id}
+                    "bucket_id": bucket_id, **extra}
         signals = np.zeros((B, shape.max_samples), np.float32)
         num_samples = np.zeros(B, np.int32)
         for i, u_idx in enumerate(idxs):
@@ -131,57 +145,50 @@ class BatchLoader:
             num_samples[i] = n
         return {"signals": signals, "num_samples": num_samples,
                 "labels": labels, "label_lengths": label_lengths,
-                "bucket_id": bucket_id}
+                "bucket_id": bucket_id, **extra}
 
 
 class Prefetcher:
-    """Single background thread + bounded queue: loads batch k+1..k+depth
-    from disk while the device runs batch k (SURVEY.md §3.2 hot loop).
+    """Parallel background batch loading, order-preserving (SURVEY.md §3.2
+    hot loop; VERDICT.md round-1 Weak #1 — one loader thread could not feed
+    the chip).
+
+    ``num_workers`` threads assemble whole batches concurrently — the hot
+    work (memmap slice-copies / WAV parse via the C++ RIFF parser) releases
+    the GIL, so threads scale without multiprocessing's pickling tax — and
+    iteration yields batches in exactly the submitted order, preserving the
+    (seed, epoch)-deterministic resume contract.
 
     ``stop()`` (or abandoning iteration early, e.g. total_steps reached
-    mid-epoch) unblocks and terminates the loader thread promptly instead
-    of leaving it parked on a full queue.
+    mid-epoch) cancels queued work and terminates the workers promptly.
     """
 
-    def __init__(self, loader: BatchLoader, batches, depth: int = 4):
+    def __init__(self, loader, batches, depth: int = 8,
+                 num_workers: int = 4):
         self.loader = loader
-        self.batches = batches
-        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.batches = list(batches)
+        self.depth = max(depth, num_workers)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
-
-    def _run(self):
-        try:
-            for bid, idxs in self.batches:
-                if self._stop.is_set():
-                    return
-                item = self.loader.load(bid, idxs)
-                while not self._stop.is_set():
-                    try:
-                        self.q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-        finally:
-            # the end-of-stream sentinel must not be dropped when the queue
-            # is momentarily full, or the consumer waits forever
-            while not self._stop.is_set():
-                try:
-                    self.q.put(None, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=num_workers, thread_name_prefix="csr-loader")
 
     def stop(self):
         self._stop.set()
+        self._pool.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self):
+        pending: collections.deque = collections.deque()
+        it = iter(self.batches)
         try:
             while True:
-                item = self.q.get()
-                if item is None:
+                while len(pending) < self.depth and not self._stop.is_set():
+                    nxt = next(it, None)
+                    if nxt is None:
+                        break
+                    # (bucket_id, idxs[, n_valid]) passes straight through
+                    pending.append(self._pool.submit(self.loader.load, *nxt))
+                if not pending or self._stop.is_set():
                     return
-                yield item
+                yield pending.popleft().result()
         finally:
             self.stop()

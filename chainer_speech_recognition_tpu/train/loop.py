@@ -17,16 +17,17 @@ import numpy as np
 from ..config import Config
 from ..data.buckets import padding_waste
 from ..data.corpus import Utterance
+from ..data.device_cache import DeviceCorpusCache, estimate_bytes
 from ..data.sampler import BatchLoader, BucketSampler, Prefetcher
 from ..decode.greedy import greedy_decode
 from ..decode.metrics import CERAccumulator
 from ..models.presets import build_model
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import batch_sharding, make_mesh, shard_batch
 from ..vocab import Vocab
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .metrics import MetricsLogger
 from .state import init_state
-from .step import make_eval_step, make_train_step
+from .step import make_cached_train_step, make_eval_step, make_train_step
 
 
 def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
@@ -58,17 +59,44 @@ def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
     return acc, total_loss / max(n, 1)
 
 
+def _resolve_data_mode(cfg: Config, sampler: BucketSampler) -> str:
+    """"stream" (host Prefetcher feeds padded batches) vs "device_cache"
+    (corpus lives in HBM, steps are fed [B] index vectors — see
+    data/device_cache.py for why this matters on relay-attached TPUs)."""
+    mode = cfg.train.data_mode
+    if mode not in ("auto", "stream", "device_cache"):
+        raise ValueError(f"unknown train.data_mode: {mode!r}")
+    if cfg.features.use_cache:           # precomputed-feature batches: stream
+        return "stream"
+    if mode == "auto":
+        fits = estimate_bytes(sampler) <= cfg.train.device_cache_budget_gb * 1e9
+        return "device_cache" if fits else "stream"
+    return mode
+
+
 def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
           dev_utts: list[Utterance] | None = None,
           metrics_path: str | None = None, resume: bool = True,
-          profile_dir: str | None = None):
+          profile_dir: str | None = None, loader: BatchLoader | None = None):
+    """``loader`` override feeds from alternative sources (e.g.
+    data.packed.PackedBatchLoader); defaults to per-WAV BatchLoader."""
     model = build_model(cfg.model)
     mesh = make_mesh(cfg.parallel)
     log = MetricsLogger(metrics_path)
 
+    n_dev = mesh.devices.size
+    bad = [(i, bs) for i, bs in enumerate(cfg.buckets.batch_sizes)
+           if bs % n_dev]
+    if bad:
+        raise ValueError(
+            f"bucket batch sizes {bad} (bucket_id, batch) are not divisible "
+            f"by the {n_dev}-device data-parallel mesh — adjust "
+            "buckets.batch_sizes or parallel.num_devices")
+
     sampler = BucketSampler(train_utts, cfg.buckets, seed=cfg.train.seed)
-    loader = BatchLoader(train_utts, vocab, cfg.buckets,
-                         use_cached_features=cfg.features.use_cache)
+    if loader is None:
+        loader = BatchLoader(train_utts, vocab, cfg.buckets,
+                             use_cached_features=cfg.features.use_cache)
     if sampler.num_dropped:
         log.log("data", dropped_utts=sampler.num_dropped,
                 total_utts=len(train_utts))
@@ -92,7 +120,21 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         state = restore_checkpoint(ckpt, state)
         log.log("resume", checkpoint=ckpt, step=int(state.step))
 
-    train_step = make_train_step(model, cfg, mesh)
+    data_mode = _resolve_data_mode(cfg, sampler)
+    if data_mode == "device_cache":
+        t_c = time.perf_counter()
+        corpus_cache = DeviceCorpusCache(mesh, loader, sampler,
+                                         axis=cfg.parallel.data_axis,
+                                         seed=cfg.train.seed)
+        train_step = make_cached_train_step(model, cfg, mesh, corpus_cache)
+        epoch_batches = corpus_cache.epoch_batches
+        log.log("data_mode", mode=data_mode,
+                cache_bytes=estimate_bytes(sampler),
+                build_seconds=round(time.perf_counter() - t_c, 2))
+    else:
+        train_step = make_train_step(model, cfg, mesh)
+        epoch_batches = sampler.epoch_batches
+        log.log("data_mode", mode=data_mode)
     raw_eval_step = make_eval_step(model, cfg)
 
     def eval_fn(batch):
@@ -106,73 +148,115 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                                  use_cached_features=cfg.features.use_cache)
         dev_batches = dev_sampler.eval_batches()   # full dev coverage
 
+    if not epoch_batches(0):
+        raise ValueError(
+            "no trainable batches in the selected data mode — in "
+            "device_cache mode every bucket needs at least batch_size/"
+            "num_devices utterances per device")
+
     step = int(state.step)
     t_last, utts_since = time.perf_counter(), 0
     seen_buckets: set[int] = set()
     epoch = 0
-    done = False
+    # a run that already reached total_steps resumes to a no-op (no extra
+    # step past the configured horizon)
+    done = step >= cfg.train.total_steps
+
+    def timed_step(bucket_id, *args):
+        """One train step; the first hit of a bucket logs its compile time
+        (SURVEY.md §7.5), steps 10-15 bracket the profiler window (§5.1)."""
+        nonlocal state, step
+        if profile_dir and step == 10:
+            jax.profiler.start_trace(profile_dir)
+        first = bucket_id not in seen_buckets
+        t_c = time.perf_counter()
+        state, m = train_step(state, *args)
+        if first:
+            _ = float(m["loss"])            # reliable drain (see bench.py)
+            log.log("compile", bucket_id=int(bucket_id),
+                    seconds=round(time.perf_counter() - t_c, 2))
+            seen_buckets.add(bucket_id)
+        step += 1
+        if profile_dir and step == 15:
+            _ = float(m["loss"])
+            jax.profiler.stop_trace()
+            log.log("profile", trace_dir=profile_dir, steps="10-14")
+        return m
+
+    def bookkeep(m, bucket_id, batch_utts) -> bool:
+        """Per-step metrics / eval / checkpoint; True when run is complete."""
+        nonlocal t_last, utts_since
+        utts_since += batch_utts
+        if step % cfg.train.log_every == 0:
+            now = time.perf_counter()
+            log.log("train", step=step, epoch=epoch,
+                    loss=float(m["loss"]), grad_norm=float(m["grad_norm"]),
+                    valid_frac=float(m["valid_frac"]),
+                    utt_per_sec=utts_since / (now - t_last),
+                    bucket_id=int(bucket_id))
+            t_last, utts_since = now, 0
+        if dev_batches and step % cfg.train.eval_every == 0:
+            acc, dev_loss = evaluate(eval_fn, dev_loader, dev_batches,
+                                     vocab, dev_utts)
+            log.log("eval", step=step, cer=acc.cer, loss=dev_loss,
+                    num_utts=acc.num_utts)
+        if step % cfg.train.checkpoint_every == 0:
+            path = save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
+                                   keep=cfg.train.keep_checkpoints)
+            log.log("checkpoint", step=step, path=path)
+        return step >= cfg.train.total_steps
+
     while not done:
-        batches = sampler.epoch_batches(epoch)
+        batches = epoch_batches(epoch)
         # exact resume: skip batches already consumed this epoch
-        consumed = step - sum(len(sampler.epoch_batches(e)) for e in range(epoch))
+        consumed = step - sum(len(epoch_batches(e)) for e in range(epoch))
         if consumed >= len(batches):
             epoch += 1
             continue
-        # lookahead-1 device feeding: batch k+1's (async) host→device
-        # transfer is issued right after step k is dispatched, so the ICI/
-        # PCIe transfer overlaps step k's compute (SURVEY.md §2.2 Prefetcher)
-        it = iter(Prefetcher(loader, batches[max(consumed, 0):]))
-        pending = next(it, None)
-        pending_sharded = (shard_batch(
-            mesh, {k: v for k, v in pending.items() if k != "bucket_id"})
-            if pending is not None else None)
-        while pending is not None:
-            batch, sharded = pending, pending_sharded
-            bucket_id = batch["bucket_id"]
-            if profile_dir and step == 10:      # tracing window (§5.1)
-                jax.profiler.start_trace(profile_dir)
-            if bucket_id not in seen_buckets:   # per-bucket compile (§7.5)
-                t_c = time.perf_counter()
-                state, m = train_step(state, sharded)
-                _ = float(m["loss"])            # reliable drain (see bench.py)
-                log.log("compile", bucket_id=int(bucket_id),
-                        seconds=round(time.perf_counter() - t_c, 2))
-                seen_buckets.add(bucket_id)
-            else:
-                state, m = train_step(state, sharded)
-            step += 1
-            # issue batch k+1's async host→device transfer while step k runs
-            pending = next(it, None)
-            if pending is not None:
-                pending_sharded = shard_batch(
-                    mesh, {k: v for k, v in pending.items()
-                           if k != "bucket_id"})
-            if profile_dir and step == 15:
-                _ = float(m["loss"])
-                jax.profiler.stop_trace()
-                log.log("profile", trace_dir=profile_dir, steps="10-14")
-            utts_since += batch["labels"].shape[0]
+        todo = batches[max(consumed, 0):]
 
-            if step % cfg.train.log_every == 0:
-                now = time.perf_counter()
-                log.log("train", step=step, epoch=epoch,
-                        loss=float(m["loss"]), grad_norm=float(m["grad_norm"]),
-                        valid_frac=float(m["valid_frac"]),
-                        utt_per_sec=utts_since / (now - t_last),
-                        bucket_id=int(bucket_id))
-                t_last, utts_since = now, 0
-            if dev_batches and step % cfg.train.eval_every == 0:
-                acc, dev_loss = evaluate(eval_fn, dev_loader, dev_batches,
-                                         vocab, dev_utts)
-                log.log("eval", step=step, cer=acc.cer, loss=dev_loss,
-                        num_utts=acc.num_utts)
-            if step % cfg.train.checkpoint_every == 0:
-                path = save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
-                                       keep=cfg.train.keep_checkpoints)
-                log.log("checkpoint", step=step, path=path)
-            if step >= cfg.train.total_steps:
-                done = True
-                break
+        if data_mode == "device_cache":
+            # steady state sends ONLY the [B] slot-id vector per step;
+            # lookahead-1 so its (tiny) transfer overlaps step k's compute
+            sh = batch_sharding(mesh, cfg.parallel.data_axis)
+            it = iter(todo)
+            pending = next(it, None)
+            pending_dev = (jax.device_put(pending[1], sh)
+                           if pending is not None else None)
+            while pending is not None:
+                bucket_id, idx_dev = pending[0], pending_dev
+                m = timed_step(bucket_id, bucket_id, idx_dev)
+                pending = next(it, None)
+                if pending is not None:
+                    pending_dev = jax.device_put(pending[1], sh)
+                if bookkeep(m, bucket_id,
+                            sampler.shapes[bucket_id].batch_size):
+                    done = True
+                    break
+        else:
+            # lookahead-1 device feeding: batch k+1's (async) host→device
+            # transfer is issued right after step k is dispatched, so the
+            # transfer overlaps step k's compute (SURVEY.md §2.2 Prefetcher)
+            it = iter(Prefetcher(loader, todo,
+                                 depth=cfg.train.prefetch_depth,
+                                 num_workers=cfg.train.loader_workers))
+            pending = next(it, None)
+            pending_sharded = (shard_batch(
+                mesh, {k: v for k, v in pending.items() if k != "bucket_id"})
+                if pending is not None else None)
+            while pending is not None:
+                batch, sharded = pending, pending_sharded
+                bucket_id = batch["bucket_id"]
+                m = timed_step(bucket_id, sharded)
+                # issue batch k+1's async transfer while step k runs
+                pending = next(it, None)
+                if pending is not None:
+                    pending_sharded = shard_batch(
+                        mesh, {k: v for k, v in pending.items()
+                               if k != "bucket_id"})
+                if bookkeep(m, bucket_id, batch["labels"].shape[0]):
+                    done = True
+                    break
         epoch += 1
 
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg,

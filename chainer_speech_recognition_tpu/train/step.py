@@ -17,42 +17,104 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..config import Config
 from ..frontend import select_frontend
-from ..ops.ctc_jax import ctc_loss, mean_ctc_loss
-from ..ops.ctc_pallas import mean_ctc_loss_pallas
+from ..ops.ctc_jax import LOG_ZERO, ctc_loss
+from ..ops.ctc_pallas import ctc_loss_pallas
 from ..ops.specaugment import apply_specaugment
 from .state import TrainState, make_optimizer
 
 
-def _mean_ctc(cfg: Config):
+def _ctc(cfg: Config):
     impl = cfg.train.ctc_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    return {"pallas": mean_ctc_loss_pallas, "jnp": mean_ctc_loss}[impl]
+    return {"pallas": ctc_loss_pallas, "jnp": ctc_loss}[impl]
 
 
 def _frontend(cfg: Config):
     return select_frontend(cfg.features)
 
 
-def _forward_loss(model, cfg: Config, params, batch, rng, train: bool):
+def _signals(batch):
+    """float32 signal view; int16 batches (packed-corpus wire format, half
+    the host→device bytes) are converted on device, where it is free."""
+    if "signals" in batch:
+        return batch["signals"]
+    return batch["signals_i16"].astype(jnp.float32) / 32768.0
+
+
+def _forward_loss(model, cfg: Config, params, batch, rng, train: bool,
+                  axis: str | None = None):
+    """Weighted-mean CTC loss over the GLOBAL batch.
+
+    ``batch["sample_weight"]`` (optional, [B] fp32) masks padded remainder
+    rows to exactly zero gradient; samples with no valid CTC alignment are
+    masked the same way. With ``axis`` set, the normalizer is the psum'd
+    global weight sum, so the per-device loss values sum (psum) to the
+    exact global weighted mean regardless of per-device valid counts —
+    gradients then combine with psum, not pmean.
+    """
     if "features" in batch:          # cached-feature batches (SURVEY §2.1)
         feats, flens = batch["features"], batch["frame_lengths"]
     else:                            # on-device front-end (default TPU path)
         feats, flens = _frontend(cfg)(
-            batch["signals"], batch["num_samples"],
+            _signals(batch), batch["num_samples"],
             apply_cmvn=cfg.features.cmvn)
     if train and cfg.specaugment.enabled:
         feats = apply_specaugment(rng, feats, flens, cfg.specaugment)
     logits, olens = model.apply(params, feats, flens)
-    loss, valid_frac = _mean_ctc(cfg)(
-        logits, olens, batch["labels"], batch["label_lengths"])
-    return loss, (valid_frac, logits, olens)
+    losses = _ctc(cfg)(logits, olens, batch["labels"], batch["label_lengths"])
+    valid = losses < -LOG_ZERO / 2
+    w = batch.get("sample_weight")
+    real = (jnp.ones_like(losses) if w is None
+            else jnp.asarray(w, jnp.float32))
+    w = real * valid.astype(jnp.float32)
+    wsum = jnp.sum(w)
+    total = jax.lax.psum(wsum, axis) if axis is not None else wsum
+    loss = jnp.sum(jnp.where(valid, losses, 0.0) * w) / jnp.maximum(total, 1.0)
+    counts = (jnp.sum(w), jnp.sum(real))      # (valid real, real) samples
+    return loss, (counts, logits, olens)
+
+
+def _make_device_step(model, cfg: Config, tx, axis):
+    """Per-device train math (grads → pmean over ICI → optax update),
+    shared by the streaming and device-cache feeding modes."""
+
+    def device_step(state: TrainState, batch):
+        step_rng = jax.random.fold_in(
+            jax.random.wrap_key_data(state.rng), state.step)
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
+
+        (loss, ((n_valid, n_real), _, _)), grads = jax.value_and_grad(
+            lambda p: _forward_loss(model, cfg, p, batch, step_rng,
+                                    train=True, axis=axis),
+            has_aux=True)(state.params)
+
+        # the per-device loss is local_weighted_sum / GLOBAL weight count
+        # (psum'd inside _forward_loss), so summing devices' losses and
+        # grads yields the exact global weighted mean — exact even when
+        # devices hold different numbers of valid/masked samples
+        grads = jax.lax.psum(grads, axis)             # all-reduce over ICI
+        loss = jax.lax.psum(loss, axis)
+        valid_frac = (jax.lax.psum(n_valid, axis)
+                      / jnp.maximum(jax.lax.psum(n_real, axis), 1.0))
+        gnorm = optax.global_norm(grads)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt,
+            step=state.step + 1, rng=state.rng)
+        metrics = {"loss": loss, "grad_norm": gnorm, "valid_frac": valid_frac}
+        return new_state, metrics
+
+    return device_step
 
 
 def make_train_step(model, cfg: Config, mesh) -> Callable:
@@ -64,28 +126,7 @@ def make_train_step(model, cfg: Config, mesh) -> Callable:
     """
     tx = make_optimizer(cfg.optim)
     axis = cfg.parallel.data_axis
-
-    def device_step(state: TrainState, batch):
-        step_rng = jax.random.fold_in(
-            jax.random.wrap_key_data(state.rng), state.step)
-        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
-
-        (loss, (valid_frac, _, _)), grads = jax.value_and_grad(
-            lambda p: _forward_loss(model, cfg, p, batch, step_rng, train=True),
-            has_aux=True)(state.params)
-
-        grads = jax.lax.pmean(grads, axis)            # all-reduce over ICI
-        loss = jax.lax.pmean(loss, axis)
-        valid_frac = jax.lax.pmean(valid_frac, axis)
-        gnorm = optax.global_norm(grads)
-
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_state = TrainState(
-            params=new_params, opt_state=new_opt,
-            step=state.step + 1, rng=state.rng)
-        metrics = {"loss": loss, "grad_norm": gnorm, "valid_frac": valid_frac}
-        return new_state, metrics
+    device_step = _make_device_step(model, cfg, tx, axis)
 
     # one compiled shard_map per batch key-set (signals-mode vs cached-
     # feature-mode batches carry different keys; shapes are per-bucket)
@@ -105,6 +146,39 @@ def make_train_step(model, cfg: Config, mesh) -> Callable:
     return call
 
 
+def make_cached_train_step(model, cfg: Config, mesh, corpus_cache) -> Callable:
+    """Train step fed from a DeviceCorpusCache (data/device_cache.py).
+
+    call(state, bucket_id, slot_ids) — ``slot_ids`` [B] int32 is the ONLY
+    per-step host→device transfer; inside shard_map each device gathers its
+    B/n rows from its local HBM shard of the bucket (wide-row gather), then
+    runs the exact same device step as the streaming path.
+    """
+    tx = make_optimizer(cfg.optim)
+    axis = cfg.parallel.data_axis
+    device_step = _make_device_step(model, cfg, tx, axis)
+
+    def cached_step(state: TrainState, bucket, idx):
+        batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), bucket)
+        return device_step(state, batch)
+
+    compiled: dict = {}
+
+    def call(state, bucket_id: int, slot_ids):
+        if bucket_id not in compiled:
+            bucket = corpus_cache.buckets[bucket_id]
+            specs = {k: P(axis) for k in bucket}
+            compiled[bucket_id] = jax.jit(
+                shard_map(cached_step, mesh=mesh,
+                          in_specs=(P(), specs, P(axis)), out_specs=(P(), P()),
+                          check_vma=False),
+                donate_argnums=(0,))
+        return compiled[bucket_id](state, corpus_cache.buckets[bucket_id],
+                                   slot_ids)
+
+    return call
+
+
 def make_eval_step(model, cfg: Config) -> Callable:
     """eval_step(params, batch) → (per-utt ctc loss [B], logits, out_lens).
 
@@ -118,7 +192,7 @@ def make_eval_step(model, cfg: Config) -> Callable:
             feats, flens = batch["features"], batch["frame_lengths"]
         else:
             feats, flens = _frontend(cfg)(
-                batch["signals"], batch["num_samples"],
+                _signals(batch), batch["num_samples"],
                 apply_cmvn=cfg.features.cmvn)
         logits, olens = model.apply(params, feats, flens)
         losses = ctc_loss(logits, olens, batch["labels"], batch["label_lengths"])

@@ -98,7 +98,10 @@ def edit_distance_native(hyp, ref) -> int | None:
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(b)))
 
 
-def read_wav_native(path: str, expect_rate: int) -> np.ndarray | None:
+def read_wav_native(path: str) -> tuple[np.ndarray, int] | None:
+    """→ (float32 mono signal, sample rate), or None for anything the C++
+    fast path doesn't handle (non-PCM16, multichannel) — callers fall back
+    to the stdlib reader, which also downmixes/resamples."""
     lib = get_lib()
     if lib is None:
         return None
@@ -112,6 +115,4 @@ def read_wav_native(path: str, expect_rate: int) -> np.ndarray | None:
         ctypes.byref(rate))
     if n < 0:
         return None
-    if rate.value != expect_rate:
-        raise ValueError(f"{path}: expected {expect_rate} Hz, got {rate.value}")
-    return out[:n].copy()
+    return out[:n].copy(), int(rate.value)

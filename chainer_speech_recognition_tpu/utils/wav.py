@@ -1,11 +1,16 @@
 """Minimal WAV I/O (stdlib only — no soundfile/librosa offline).
 
-Reads/writes 16-bit PCM mono WAV at the contract sample rate. The reference
-consumed 16 kHz PCM from the CSJ corpus (SURVEY.md §2.2 "Corpus reader").
+Reads 16-bit PCM WAV; the contract sample rate is 16 kHz (constants.py).
+Robustness (VERDICT.md r1 item 10): non-16 kHz input is resampled on read
+with a polyphase windowed-sinc filter; stereo is downmixed to mono. The
+fast path (16 kHz mono via the C++ RIFF parser, native/csr_native.cpp) is
+untouched — resampling happens only for nonconforming files, on the host,
+at preprocessing/packing time.
 """
 
 from __future__ import annotations
 
+import math
 import wave
 
 import numpy as np
@@ -13,37 +18,80 @@ import numpy as np
 from ..constants import SAMPLE_RATE
 
 
-def read_wav(path: str) -> np.ndarray:
-    """→ float32 signal in [-1, 1]; validates rate/channels/width.
+def resample_sinc(signal: np.ndarray, sr_in: int, sr_out: int,
+                  taps_per_phase: int = 24, beta: float = 8.0) -> np.ndarray:
+    """Rational polyphase resampling with a Kaiser-windowed sinc filter.
 
-    Prefers the C++ RIFF parser (native/csr_native.cpp) for the data-loader
-    thread; falls back to stdlib ``wave`` (also the differential oracle).
+    Quality comparable to scipy.signal.resample_poly defaults; pure NumPy.
+    """
+    if sr_in == sr_out:
+        return np.asarray(signal, np.float32)
+    g = math.gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    x = np.asarray(signal, np.float64)
+    # lowpass at the tighter Nyquist, windowed sinc of length 2*half*up+1
+    cutoff = min(1.0 / up, 1.0 / down)
+    half = taps_per_phase * max(up, down) // 2
+    n = np.arange(-half, half + 1, dtype=np.float64)
+    h = cutoff * np.sinc(cutoff * n) * np.kaiser(2 * half + 1, beta)
+    h *= up  # compensate zero-stuffing gain
+    # upsample (zero-stuff) → filter → downsample, done sparsely:
+    x_up = np.zeros(len(x) * up, np.float64)
+    x_up[::up] = x
+    y = np.convolve(x_up, h, mode="full")[half : half + len(x_up)]
+    y = y[::down]
+    out_len = int(round(len(x) * sr_out / sr_in))
+    if len(y) < out_len:
+        y = np.pad(y, (0, out_len - len(y)))
+    return y[:out_len].astype(np.float32)
+
+
+def read_wav(path: str, resample: bool = True) -> np.ndarray:
+    """→ float32 mono signal in [-1, 1] at SAMPLE_RATE.
+
+    Prefers the C++ RIFF parser (native/csr_native.cpp) for the 16 kHz-mono
+    fast path; nonconforming files (other rates, stereo) take the stdlib
+    path with downmix + resample. ``resample=False`` restores the strict
+    round-1 behavior (raise on rate mismatch).
     """
     from .native import read_wav_native
 
-    native = read_wav_native(str(path), SAMPLE_RATE)
+    native = read_wav_native(str(path))
     if native is not None:
-        return native
-    return read_wav_py(path)
+        sig, rate = native
+        if rate == SAMPLE_RATE:
+            return sig
+        if not resample:
+            raise ValueError(
+                f"{path}: expected {SAMPLE_RATE} Hz, got {rate}")
+        return resample_sinc(sig, rate, SAMPLE_RATE)
+    return read_wav_py(path, resample=resample)
 
 
-def read_wav_py(path: str) -> np.ndarray:
-    """stdlib reference implementation."""
+def read_wav_py(path: str, resample: bool = True) -> np.ndarray:
+    """stdlib implementation (also the differential oracle)."""
     with wave.open(str(path), "rb") as w:
-        if w.getframerate() != SAMPLE_RATE:
-            raise ValueError(f"{path}: expected {SAMPLE_RATE} Hz, got {w.getframerate()}")
-        if w.getnchannels() != 1:
-            raise ValueError(f"{path}: expected mono, got {w.getnchannels()} channels")
+        rate = w.getframerate()
+        ch = w.getnchannels()
         if w.getsampwidth() != 2:
             raise ValueError(f"{path}: expected 16-bit PCM")
         raw = w.readframes(w.getnframes())
-    return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if ch > 1:
+        sig = sig.reshape(-1, ch).mean(axis=1)        # downmix
+    if rate != SAMPLE_RATE:
+        if not resample:
+            raise ValueError(f"{path}: expected {SAMPLE_RATE} Hz, got {rate}")
+        sig = resample_sinc(sig, rate, SAMPLE_RATE)
+    return sig
 
 
-def write_wav(path: str, signal: np.ndarray) -> None:
-    pcm = np.clip(np.asarray(signal) * 32768.0, -32768, 32767).astype("<i2")
+def write_wav(path: str, signal: np.ndarray, sample_rate: int = SAMPLE_RATE,
+              channels: int = 1) -> None:
+    sig = np.asarray(signal)
+    pcm = np.clip(sig * 32768.0, -32768, 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(channels)
         w.setsampwidth(2)
-        w.setframerate(SAMPLE_RATE)
+        w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())

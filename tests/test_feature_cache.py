@@ -53,7 +53,7 @@ def test_cached_features_end_to_end(tmp_path):
     sampler = BucketSampler(utts, cfg.buckets, seed=0)
     loader_c = BatchLoader(utts, vocab, cfg.buckets, use_cached_features=True)
     loader_s = BatchLoader(utts, vocab, cfg.buckets, use_cached_features=False)
-    bid, idxs = sampler.epoch_batches(0)[0]
+    bid, idxs = sampler.epoch_batches(0)[0][:2]
 
     bc = loader_c.load(bid, idxs)
     bs = loader_s.load(bid, idxs)

@@ -35,24 +35,26 @@ def test_wav_native_differential(tmp_path):
     path = str(tmp_path / "x.wav")
     write_wav(path, sig)
     w_py = read_wav_py(path)
-    w_c = read_wav_native(path, 16000)
-    assert w_c is not None
+    native = read_wav_native(path)
+    assert native is not None
+    w_c, rate = native
+    assert rate == 16000
     np.testing.assert_array_equal(w_py, w_c)
     assert read_wav(path).dtype == np.float32
 
 
-def test_wav_native_rejects_bad_rate(tmp_path):
+def test_wav_bad_rate_strict_mode_raises(tmp_path):
     import wave
     path = str(tmp_path / "bad.wav")
     with wave.open(path, "wb") as w:
         w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
         w.writeframes(b"\x00\x00" * 100)
     with pytest.raises(ValueError):
-        read_wav_native(path, 16000)
+        read_wav(path, resample=False)
 
 
 def test_wav_native_malformed_returns_none(tmp_path):
     path = str(tmp_path / "junk.wav")
     with open(path, "wb") as f:
         f.write(b"not a wav file at all, definitely not RIFF")
-    assert read_wav_native(path, 16000) is None
+    assert read_wav_native(path) is None

@@ -100,6 +100,61 @@ def test_dp_equals_single_device():
         np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=2e-6)
 
 
+def test_remainder_rows_are_masked():
+    """sample_weight=0 rows (padded bucket remainders) must contribute
+    exactly nothing: loss and updates invariant to their content."""
+    cfg = _cfg()
+    rng = np.random.default_rng(5)
+    batch = _fixed_batch(rng)
+    w = np.ones(16, np.float32)
+    w[12:] = 0.0
+    batch_a = dict(batch, sample_weight=w)
+    # corrupt the masked rows arbitrarily
+    batch_b = {k: np.array(v, copy=True) for k, v in batch_a.items()}
+    batch_b["signals"][12:] = rng.standard_normal((4, 12000)).astype(np.float32)
+    batch_b["labels"][12:, :3] = 5
+    batch_b["label_lengths"][12:] = 3
+
+    model, state = _init(cfg, batch)
+    state2 = jax.tree.map(jnp.copy, state)
+    mesh = make_mesh(cfg.parallel)
+    step = make_train_step(model, cfg, mesh)
+    sa, ma = step(state, shard_batch(mesh, batch_a))
+    sb, mb = step(state2, shard_batch(mesh, batch_b))
+    assert float(ma["loss"]) == float(mb["loss"])
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the loss equals the unweighted mean over ONLY the valid rows
+    from chainer_speech_recognition_tpu.train.step import make_eval_step
+    eval_step = make_eval_step(model, cfg)
+    # state params were updated; recompute with the ORIGINAL params
+    model2, state0 = _init(cfg, batch)
+    losses, _, _ = eval_step(state0.params,
+                             {k: jnp.asarray(v) for k, v in batch.items()})
+    # train loss was computed at the pre-update params of `state`, which
+    # _init reproduces deterministically
+    expect = float(np.asarray(losses)[:12].mean())
+    assert abs(float(ma["loss"]) - expect) < 1e-3
+
+
+def test_sampler_remainder_covers_every_utterance():
+    from chainer_speech_recognition_tpu.config import BucketConfig
+    from chainer_speech_recognition_tpu.data.corpus import Utterance
+    from chainer_speech_recognition_tpu.data.sampler import BucketSampler
+    utts = [Utterance(f"u{i}", "x.wav", "あい", 4000 + 100 * i)
+            for i in range(23)]
+    cfg = BucketConfig(boundaries=(64,), batch_sizes=(8,), max_label_len=8)
+    s = BucketSampler(utts, cfg, seed=0)
+    batches = s.epoch_batches(0)
+    assert len(batches) == 3                       # 8 + 8 + remainder(7)
+    seen = []
+    for bid, idxs, n_valid in batches:
+        assert len(idxs) == 8
+        seen.extend(idxs[:n_valid])
+    assert sorted(seen) == list(range(23))         # each utt exactly once
+
+
 def test_specaugment_invariants():
     cfg = preset_config("bilstm_deep")
     feats = jnp.ones((4, 100, 40, 3), jnp.float32)
