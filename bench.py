@@ -70,7 +70,7 @@ def _bench_from_disk(cfg, vocab_size, args, n_chips):
         batch_features)
     from chainer_speech_recognition_tpu.models.presets import build_model
     from chainer_speech_recognition_tpu.parallel.mesh import (
-        batch_sharding, make_mesh, shard_batch)
+        dispatch_sharding, make_mesh, shard_batch)
     from chainer_speech_recognition_tpu.train.state import init_state
     from chainer_speech_recognition_tpu.train.step import (
         make_cached_train_step, make_train_step)
@@ -121,34 +121,37 @@ def _bench_from_disk(cfg, vocab_size, args, n_chips):
         (ex["signals_i16"].astype(np.float32) / 32768.0), ex["num_samples"])
     state = init_state(model, cfg.optim, jax.random.key(0), feats, flens)
 
-    # --- device-cache mode: transfer once, then index-fed steps ---------
+    # --- device-cache mode: transfer once, then index-fed K-step
+    # dispatches (lax.scan in-jit amortizes per-dispatch host latency) ----
     t0 = time.perf_counter()
     cache = DeviceCorpusCache(mesh, loader, sampler, seed=0)
     jax.block_until_ready(cache.buckets[0]["signals_i16"])
     cache_build_seconds = time.perf_counter() - t0
-    cached_step = make_cached_train_step(model, cfg, mesh, cache)
-    sh = batch_sharding(mesh)
+    K = args.steps_per_dispatch
+    cached_step = make_cached_train_step(model, cfg, mesh, cache,
+                                         steps_per_dispatch=K)
+    sh = dispatch_sharding(mesh, 1 if K == 1 else 2)
 
-    def batch_stream():
+    def dispatch_stream():
         epoch = 0
         while True:
-            for bid, slots in cache.epoch_batches(epoch):
+            for bid, slots in cache.epoch_dispatches(epoch, K):
                 yield bid, slots
             epoch += 1
 
-    stream = batch_stream()
+    stream = dispatch_stream()
     for _ in range(3):                         # compile + warm (donation
         bid, slots = next(stream)              # layout settles on call 2+)
         state, m = cached_step(state, bid, jax.device_put(slots, sh))
         _ = float(m["loss"])
-    steps = args.disk_steps
+    dispatches = -(-args.disk_steps // K)
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(dispatches):
         bid, slots = next(stream)
         state, m = cached_step(state, bid, jax.device_put(slots, sh))
     _ = float(m["loss"])                       # reliable drain
     dt = time.perf_counter() - t0
-    cached_ups = args.batch * steps / dt / n_chips
+    cached_ups = args.batch * dispatches * K / dt / n_chips
 
     # --- streaming mode: padded batches cross the link every step -------
     batches = sampler.epoch_batches(0)
@@ -192,7 +195,8 @@ def main(argv=None):
     p.add_argument("--no-from-disk", action="store_true",
                    help="skip the on-disk end-to-end measurement")
     p.add_argument("--disk-utts", type=int, default=512)
-    p.add_argument("--disk-steps", type=int, default=30)
+    p.add_argument("--disk-steps", type=int, default=64)
+    p.add_argument("--steps-per-dispatch", type=int, default=8)
     p.add_argument("--disk-stream-steps", type=int, default=6)
     p.add_argument("--disk-workdir", default="/tmp/csr_bench_corpus")
     args = p.parse_args(argv)
@@ -303,6 +307,7 @@ def main(argv=None):
         "backend": args.backend, "n_chips": n_chips,
         "device_kind": kind,
         "preset": args.preset, "batch": B, "frames": args.frames,
+        "single_dispatch_utt_per_sec": round(ups_per_chip, 1),
         "train_rtf_per_chip": round(rtf, 1),
         "model_tflops_per_sec": round(flops_per_sec / 1e12, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
@@ -310,15 +315,26 @@ def main(argv=None):
         "decode_rtf_per_chip": round(decode_rtf, 1),
         "loss": round(float(m["loss"]), 4),
     }
+    headline = ups_per_chip
     if not args.no_from_disk and args.backend == "tpu":
-        extra.update(_bench_from_disk(preset_config(args.preset).override(
-            {"model.compute_dtype": compute_dtype}), 64, args, n_chips))
+        fd = _bench_from_disk(preset_config(args.preset).override(
+            {"model.compute_dtype": compute_dtype}), 64, args, n_chips)
+        extra.update(fd)
+        # the headline is the SUSTAINED end-to-end rate on an on-disk
+        # corpus (device cache + K-step dispatches): what users get,
+        # including all host work — not a device-resident microbench
+        headline = fd["from_disk_utt_per_sec_per_chip"]
+        # re-derive arithmetic-efficiency numbers at the headline rate
+        fps = F.train_flops_per_utt(cfg.model, args.frames) * headline
+        extra["model_tflops_per_sec"] = round(fps / 1e12, 2)
+        m2 = F.mfu(fps, kind)
+        extra["mfu"] = round(m2, 4) if m2 is not None else None
 
     result = {
         "metric": "train_utterances_per_sec_per_chip",
-        "value": round(ups_per_chip, 3),
+        "value": round(headline, 3),
         "unit": "utt/s/chip",
-        "vs_baseline": (round(ups_per_chip / baseline, 2)
+        "vs_baseline": (round(headline / baseline, 2)
                         if baseline else None),
         "extra": extra,
     }

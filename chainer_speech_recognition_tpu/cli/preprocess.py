@@ -10,7 +10,7 @@ import os
 
 from ..config import BucketConfig
 from ..data.buckets import padding_waste
-from ..data.corpus import build_vocab, save_index, scan_corpus
+from ..data.corpus import build_vocab, save_index, scan_corpus, scan_kaldi_style
 
 
 def main(argv=None):
@@ -28,15 +28,20 @@ def main(argv=None):
                    help="with --cache-features: skip utterance CMVN")
     p.add_argument("--unit", default="char", choices=["char", "mora"],
                    help="label unit segmenter (vocab.py SEGMENTERS)")
+    p.add_argument("--format", default="pairs", choices=["pairs", "kaldi"],
+                   help="corpus layout: wav+txt sibling pairs (default) or "
+                        "Kaldi-style wav.scp + text files")
     p.add_argument("--pack", action="store_true",
                    help="also write packed binary corpora (train.pack / "
                         "dev.pack): mmap-able int16 PCM + pre-encoded "
                         "labels — the fast training input (data/packed.py)")
     args = p.parse_args(argv)
 
-    utts = scan_corpus(args.corpus)
+    scan = scan_kaldi_style if args.format == "kaldi" else scan_corpus
+    utts = scan(args.corpus)
     if not utts:
-        raise SystemExit(f"no (wav, txt) pairs found under {args.corpus}")
+        raise SystemExit(f"no utterances found under {args.corpus} "
+                         f"(format={args.format})")
     os.makedirs(args.out, exist_ok=True)
 
     if args.cache_features:

@@ -129,6 +129,10 @@ class TrainConfig:
                                 # [B] indices per step; auto picks it when
                                 # the corpus fits device_cache_budget_gb
     device_cache_budget_gb: float = 4.0
+    steps_per_dispatch: int = 8  # device_cache mode: K steps per host
+                                # dispatch (lax.scan inside the jit) —
+                                # amortizes per-dispatch host latency;
+                                # logging/eval/ckpt land on K boundaries
     loader_workers: int = 4     # Prefetcher threads (stream mode)
     prefetch_depth: int = 8     # batches in flight ahead of the device
     seed: int = 0

@@ -52,6 +52,36 @@ def scan_corpus(root: str) -> list[Utterance]:
     return utts
 
 
+def scan_kaldi_style(root: str) -> list[Utterance]:
+    """Read a Kaldi-style corpus dir: ``wav.scp`` (utt_id → wav path) +
+    ``text`` (utt_id → transcript). The common interchange format for CSJ
+    and other licensed corpora (whose own distribution formats vary);
+    utterances present in both files are indexed, order = sorted utt_id."""
+    wavs: dict[str, str] = {}
+    with open(os.path.join(root, "wav.scp"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                wavs[parts[0]] = parts[1]
+    texts: dict[str, str] = {}
+    with open(os.path.join(root, "text"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                texts[parts[0]] = parts[1]
+    utts = []
+    for utt_id in sorted(wavs.keys() & texts.keys()):
+        wav_path = wavs[utt_id]
+        if not os.path.isabs(wav_path):
+            wav_path = os.path.join(root, wav_path)
+        with wave.open(wav_path, "rb") as w:
+            # index frame counts at the CONTRACT rate so bucketing is
+            # correct even for to-be-resampled inputs (utils/wav.py)
+            n = int(w.getnframes() * C.SAMPLE_RATE / w.getframerate())
+        utts.append(Utterance(utt_id, wav_path, texts[utt_id], n))
+    return utts
+
+
 def save_index(path: str, utts: list[Utterance]) -> None:
     with open(path, "w", encoding="utf-8") as f:
         for u in utts:

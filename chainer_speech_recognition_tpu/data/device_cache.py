@@ -92,6 +92,29 @@ class DeviceCorpusCache:
             self.real_counts[bid] = counts
             self.utt_map[bid] = padded
 
+    def epoch_dispatches(self, epoch: int,
+                         steps_per_dispatch: int) -> list[tuple[int, np.ndarray]]:
+        """Group the epoch's batches into [K, B] slot matrices of same-bucket
+        consecutive batches, for make_cached_train_step(steps_per_dispatch=K).
+        The per-bucket batch count is rounded up to a multiple of K by
+        wrapping (same oversampling policy as epoch_batches); dispatch order
+        is shuffled deterministically."""
+        k = steps_per_dispatch
+        if k <= 1:
+            return self.epoch_batches(epoch)
+        per_bucket: dict[int, list[np.ndarray]] = {}
+        for bid, slots in self.epoch_batches(epoch):
+            per_bucket.setdefault(bid, []).append(slots)
+        rng = np.random.default_rng([self.seed, epoch, 0xD15B])
+        out = []
+        for bid, vecs in per_bucket.items():
+            while len(vecs) % k:
+                vecs.append(vecs[len(vecs) % k - 1])     # wrap-pad
+            for j in range(0, len(vecs), k):
+                out.append((bid, np.stack(vecs[j : j + k])))
+        order = rng.permutation(len(out))
+        return [out[i] for i in order]
+
     def epoch_batches(self, epoch: int) -> list[tuple[int, np.ndarray]]:
         """Deterministic per-(seed, epoch) list of (bucket_id, local slot
         ids [B]); segment d of each vector is device d's sample of its own

@@ -17,10 +17,16 @@ Layout (per layer):
                            lo ≤ t < hi (fwd: [0, len); bwd: [T-len, T))
   ys   [T, R, H]  fp32   — emitted carries (h), frozen outside [lo, hi)
 
-The forward kernel walks the time grid with h (‖c) resident in VMEM; the
-backward kernel re-walks it in reverse, recomputing gates from (xs, h_prev)
-— no gate activations are ever stored in HBM — accumulating dW in a VMEM
-scratch and streaming dxs back per step.
+The forward kernel walks the time grid with h (‖c) resident in VMEM and
+STREAMS the gate activations to HBM ([T, R, G·H] fp32 — ~0.2 GB/layer at
+contract shapes, ~0.25 µs/step of write bandwidth). The backward kernel
+re-walks in reverse and is latency-bound on the sequential dependency, so
+its per-step critical path is kept minimal: read the stored gates (no
+gate-recompute matmul), derivative algebra on the VPU, ONE transposed
+recurrent matmul for dh. dW is NOT accumulated in-kernel: the masked
+pre-activation grads are streamed out and dW = Σ_t h_prevᵀ·dg becomes one
+large MXU einsum in XLA, off the sequential path entirely (this also
+freed the [2, H, G·H] VMEM scratch that capped H at 384).
 
 Requires H % 128 == 0 and R % 8 == 0 on real TPU (callers pad or fall back
 to the scan path); interpret mode (CPU tests) has no such constraint.
@@ -64,7 +70,8 @@ def _gru_gates(xp, hp, h, H):
     return r, z, n, (1.0 - z) * n + z * h
 
 
-def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref, ys_ref, h_scr):
+def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
+                    ys_ref, gates_ref, h_scr):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -74,14 +81,18 @@ def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref, ys_ref, h_scr):
     h = h_scr[:, :]
     xp = xs_ref[0]
     hp = _dot2(h, w_ref, B, dtype)
-    _, _, _, h_new = _gru_gates(xp, hp, h, H)
+    r, z, n, h_new = _gru_gates(xp, hp, h, H)
     h_new = jnp.where(_valid(lo_ref, hi_ref, t), h_new, h)
     h_scr[:, :] = h_new
     ys_ref[0] = h_new
+    # stored activations (r, z, n, hn): the bwd pass needs NO matmul to
+    # rebuild the gate state — its critical path shrinks to VPU algebra
+    # plus the single dh matmul
+    gates_ref[0] = jnp.concatenate([r, z, n, hp[:, 2*H:]], axis=1)
 
 
-def _gru_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
-                    hprev_ref, g_ref, dxs_ref, dw_ref, dh_scr):
+def _gru_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
+                    hprev_ref, g_ref, dxs_ref, dhp_ref, dh_scr):
     t_rev = pl.program_id(1)
     n_t = pl.num_programs(1)
     t = n_t - 1 - t_rev
@@ -89,14 +100,12 @@ def _gru_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
     @pl.when(t_rev == 0)
     def _():
         dh_scr[:, :] = jnp.zeros(dh_scr.shape, jnp.float32)
-        dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, jnp.float32)
 
     dh_total = g_ref[0] + dh_scr[:, :]                     # [R, H]
-    xp = xs_ref[0]
     h_prev = hprev_ref[0]
-    hp = _dot2(h_prev, w_ref, B, dtype)
-    r, z, n, _ = _gru_gates(xp, hp, h_prev, H)
-    hn = hp[:, 2*H:]
+    gates = gates_ref[0]
+    r, z, n, hn = (gates[:, :H], gates[:, H:2*H],
+                   gates[:, 2*H:3*H], gates[:, 3*H:])
 
     dz_pre = dh_total * (h_prev - n) * z * (1.0 - z)
     dn_pre = dh_total * (1.0 - z) * (1.0 - n * n)
@@ -108,15 +117,10 @@ def _gru_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
 
     valid = _valid(lo_ref, hi_ref, t)
     dxs_ref[0] = jnp.where(valid, dxp, 0.0)
+    # masked recurrent-gate grads stream out; dW = Σ_t h_prevᵀ·dhp happens
+    # as one large XLA einsum after the kernel (off the sequential path)
+    dhp_ref[0] = jnp.where(valid, dhp, 0.0)
     dh_scr[:, :] = jnp.where(valid, dh_prev, dh_total)
-
-    dhp_m = jnp.where(valid, dhp, 0.0)
-    dw_ref[0] += jnp.dot(h_prev[:B].astype(dtype).T,
-                         dhp_m[:B].astype(dtype),
-                         preferred_element_type=jnp.float32)
-    dw_ref[1] += jnp.dot(h_prev[B:].astype(dtype).T,
-                         dhp_m[B:].astype(dtype),
-                         preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +137,7 @@ def _lstm_gates(xp, hp, H):
 
 
 def _lstm_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
-                     ys_ref, cs_ref, hc_scr):
+                     ys_ref, cs_ref, gates_ref, hc_scr):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -152,11 +156,12 @@ def _lstm_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
     hc_scr[:, :] = jnp.concatenate([h_new, c_new], axis=1)
     ys_ref[0] = h_new
     cs_ref[0] = c_new
+    # stored activations: bwd needs no gate-recompute matmul (see module doc)
+    gates_ref[0] = jnp.concatenate([i, f, o, u], axis=1)
 
 
-def _lstm_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
-                     hprev_ref, cprev_ref, cs_ref, g_ref,
-                     dxs_ref, dw_ref, dhc_scr):
+def _lstm_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
+                     cprev_ref, cs_ref, g_ref, dxs_ref, dhc_scr):
     t_rev = pl.program_id(1)
     n_t = pl.num_programs(1)
     t = n_t - 1 - t_rev
@@ -164,16 +169,14 @@ def _lstm_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
     @pl.when(t_rev == 0)
     def _():
         dhc_scr[:, :] = jnp.zeros(dhc_scr.shape, jnp.float32)
-        dw_ref[:, :, :] = jnp.zeros(dw_ref.shape, jnp.float32)
 
     dh_total = g_ref[0] + dhc_scr[:, :H]
     dc_carry = dhc_scr[:, H:]
-    xp = xs_ref[0]
-    h_prev = hprev_ref[0]
     c_prev = cprev_ref[0]
     c_t = cs_ref[0]
-    hp = _dot2(h_prev, w_ref, B, dtype)
-    i, f, o, u = _lstm_gates(xp, hp, H)
+    gates = gates_ref[0]
+    i, f, o, u = (gates[:, :H], gates[:, H:2*H],
+                  gates[:, 2*H:3*H], gates[:, 3*H:])
 
     tc = jnp.tanh(c_t)
     do_pre = dh_total * tc * o * (1.0 - o)
@@ -186,16 +189,12 @@ def _lstm_bwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
     dh_prev = _dot2(dg, w_ref, B, dtype, transpose=True)
 
     valid = _valid(lo_ref, hi_ref, t)
+    # dxs doubles as the masked recurrent-gate grads (dg): dW is computed
+    # from it by one large XLA einsum after the kernel
     dxs_ref[0] = jnp.where(valid, dg, 0.0)
     new_dh = jnp.where(valid, dh_prev, dh_total)
     new_dc = jnp.where(valid, dc_prev, dc_carry)
     dhc_scr[:, :] = jnp.concatenate([new_dh, new_dc], axis=1)
-
-    dg_m = jnp.where(valid, dg, 0.0)
-    dw_ref[0] += jnp.dot(h_prev[:B].astype(dtype).T, dg_m[:B].astype(dtype),
-                         preferred_element_type=jnp.float32)
-    dw_ref[1] += jnp.dot(h_prev[B:].astype(dtype).T, dg_m[B:].astype(dtype),
-                         preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +215,7 @@ def _specs_tbx_rev(R, width, T):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def birnn_pallas(xs, w, lo, hi, cell: str, dtype_name: str):
-    ys, _ = _fwd_impl(xs, w, lo, hi, cell, dtype_name)
+    ys, _, _ = _fwd_impl(xs, w, lo, hi, cell, dtype_name)
     return ys
 
 
@@ -229,35 +228,37 @@ def _fwd_impl(xs, w, lo, hi, cell, dtype_name):
     rw = lambda width: pl.BlockSpec((R, width), lambda i, t: (0, 0))
     if cell == "gru":
         kern = functools.partial(_gru_fwd_kernel, B, H, dtype)
-        ys = pl.pallas_call(
+        ys, gates = pl.pallas_call(
             kern, grid=grid,
             in_specs=[_specs_tbx(R, GH),
                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
                       rw(1), rw(1)],
-            out_specs=_specs_tbx(R, H),
-            out_shape=jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+            out_specs=[_specs_tbx(R, H), _specs_tbx(R, 4 * H)],
+            out_shape=[jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+                       jax.ShapeDtypeStruct((T, R, 4 * H), jnp.float32)],
             scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
             interpret=_interp(),
         )(xs, w, lo, hi)
-        return ys, None
+        return ys, None, gates
     kern = functools.partial(_lstm_fwd_kernel, B, H, dtype)
-    ys, cs = pl.pallas_call(
+    ys, cs, gates = pl.pallas_call(
         kern, grid=grid,
         in_specs=[_specs_tbx(R, GH),
                   pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
                   rw(1), rw(1)],
-        out_specs=[_specs_tbx(R, H), _specs_tbx(R, H)],
+        out_specs=[_specs_tbx(R, H), _specs_tbx(R, H), _specs_tbx(R, 4 * H)],
         out_shape=[jax.ShapeDtypeStruct((T, R, H), jnp.float32),
-                   jax.ShapeDtypeStruct((T, R, H), jnp.float32)],
+                   jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+                   jax.ShapeDtypeStruct((T, R, 4 * H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
         interpret=_interp(),
     )(xs, w, lo, hi)
-    return ys, cs
+    return ys, cs, gates
 
 
 def _birnn_fwd(xs, w, lo, hi, cell, dtype_name):
-    ys, cs = _fwd_impl(xs, w, lo, hi, cell, dtype_name)
-    return ys, (xs, w, lo, hi, ys, cs)
+    ys, cs, gates = _fwd_impl(xs, w, lo, hi, cell, dtype_name)
+    return ys, (w, lo, hi, ys, cs, gates)
 
 
 def _shift_prev(ys):
@@ -265,10 +266,24 @@ def _shift_prev(ys):
     return jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
 
 
+def _dw_einsum(h_prev, dgate, B, dtype):
+    """dW[d] = Σ_t h_prev[t, d-rows]ᵀ · dgate[t, d-rows] — one large MXU
+    matmul per direction, replacing T per-step accumulations inside the
+    sequential kernel. bf16 operands / fp32 accumulation matches the
+    kernel's in-step accumulation numerics."""
+    return jnp.stack([
+        jnp.einsum("trh,trg->hg", h_prev[:, :B].astype(dtype),
+                   dgate[:, :B].astype(dtype),
+                   preferred_element_type=jnp.float32),
+        jnp.einsum("trh,trg->hg", h_prev[:, B:].astype(dtype),
+                   dgate[:, B:].astype(dtype),
+                   preferred_element_type=jnp.float32)])
+
+
 def _birnn_bwd(cell, dtype_name, res, g):
-    xs, w, lo, hi, ys, cs = res
-    T, R, GH = xs.shape
-    H = w.shape[1]
+    w, lo, hi, ys, cs, gates = res
+    T, R, H = ys.shape
+    GH = w.shape[2]
     B = R // 2
     dtype = jnp.dtype(dtype_name)
     grid = (1, T)
@@ -276,36 +291,35 @@ def _birnn_bwd(cell, dtype_name, res, g):
     h_prev = _shift_prev(ys)
     if cell == "gru":
         kern = functools.partial(_gru_bwd_kernel, B, H, dtype)
-        dxs, dw = pl.pallas_call(
+        dxs, dhp = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[_specs_tbx_rev(R, GH, T),
+            in_specs=[_specs_tbx_rev(R, 4 * H, T),
                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
                       rw(1), rw(1),
                       _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T)],
-            out_specs=[_specs_tbx_rev(R, GH, T),
-                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0))],
+            out_specs=[_specs_tbx_rev(R, GH, T), _specs_tbx_rev(R, GH, T)],
             out_shape=[jax.ShapeDtypeStruct((T, R, GH), jnp.float32),
-                       jax.ShapeDtypeStruct(w.shape, jnp.float32)],
+                       jax.ShapeDtypeStruct((T, R, GH), jnp.float32)],
             scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
             interpret=_interp(),
-        )(xs, w, lo, hi, h_prev, g)
+        )(gates, w, lo, hi, h_prev, g)
+        dw = _dw_einsum(h_prev, dhp, B, dtype)
     else:
         c_prev = _shift_prev(cs)
         kern = functools.partial(_lstm_bwd_kernel, B, H, dtype)
-        dxs, dw = pl.pallas_call(
+        dxs = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[_specs_tbx_rev(R, GH, T),
+            in_specs=[_specs_tbx_rev(R, 4 * H, T),
                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
                       rw(1), rw(1),
                       _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T),
-                      _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T)],
-            out_specs=[_specs_tbx_rev(R, GH, T),
-                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0))],
-            out_shape=[jax.ShapeDtypeStruct((T, R, GH), jnp.float32),
-                       jax.ShapeDtypeStruct(w.shape, jnp.float32)],
+                      _specs_tbx_rev(R, H, T)],
+            out_specs=_specs_tbx_rev(R, GH, T),
+            out_shape=jax.ShapeDtypeStruct((T, R, GH), jnp.float32),
             scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
             interpret=_interp(),
-        )(xs, w, lo, hi, h_prev, c_prev, cs, g)
+        )(gates, w, lo, hi, c_prev, cs, g)
+        dw = _dw_einsum(h_prev, dxs, B, dtype)   # LSTM: dg ≡ dxs (masked)
     return dxs, dw, jnp.zeros_like(lo), jnp.zeros_like(hi)
 
 

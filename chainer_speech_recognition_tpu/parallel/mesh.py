@@ -28,6 +28,12 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def dispatch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Slot-id sharding for cached dispatches: [B] shards axis 0, [K, B]
+    (multi-step) shards axis 1 — K is replicated time, not data."""
+    return NamedSharding(mesh, P(axis) if ndim == 1 else P(None, axis))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

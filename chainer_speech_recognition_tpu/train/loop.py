@@ -22,7 +22,7 @@ from ..data.sampler import BatchLoader, BucketSampler, Prefetcher
 from ..decode.greedy import greedy_decode
 from ..decode.metrics import CERAccumulator
 from ..models.presets import build_model
-from ..parallel.mesh import batch_sharding, make_mesh, shard_batch
+from ..parallel.mesh import dispatch_sharding, make_mesh, shard_batch
 from ..vocab import Vocab
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .metrics import MetricsLogger
@@ -121,14 +121,18 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         log.log("resume", checkpoint=ckpt, step=int(state.step))
 
     data_mode = _resolve_data_mode(cfg, sampler)
+    k_dispatch = 1
     if data_mode == "device_cache":
         t_c = time.perf_counter()
+        k_dispatch = max(1, cfg.train.steps_per_dispatch)
         corpus_cache = DeviceCorpusCache(mesh, loader, sampler,
                                          axis=cfg.parallel.data_axis,
                                          seed=cfg.train.seed)
-        train_step = make_cached_train_step(model, cfg, mesh, corpus_cache)
-        epoch_batches = corpus_cache.epoch_batches
+        train_step = make_cached_train_step(model, cfg, mesh, corpus_cache,
+                                            steps_per_dispatch=k_dispatch)
+        epoch_batches = (lambda e: corpus_cache.epoch_dispatches(e, k_dispatch))
         log.log("data_mode", mode=data_mode,
+                steps_per_dispatch=k_dispatch,
                 cache_bytes=estimate_bytes(sampler),
                 build_seconds=round(time.perf_counter() - t_c, 2))
     else:
@@ -163,10 +167,11 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
     done = step >= cfg.train.total_steps
 
     def timed_step(bucket_id, *args):
-        """One train step; the first hit of a bucket logs its compile time
-        (SURVEY.md §7.5), steps 10-15 bracket the profiler window (§5.1)."""
+        """One train dispatch (k_dispatch optimizer steps); the first hit of
+        a bucket logs its compile time (SURVEY.md §7.5), steps 10-15 bracket
+        the profiler window (§5.1)."""
         nonlocal state, step
-        if profile_dir and step == 10:
+        if profile_dir and step <= 10 < step + k_dispatch:
             jax.profiler.start_trace(profile_dir)
         first = bucket_id not in seen_buckets
         t_c = time.perf_counter()
@@ -176,18 +181,22 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
             log.log("compile", bucket_id=int(bucket_id),
                     seconds=round(time.perf_counter() - t_c, 2))
             seen_buckets.add(bucket_id)
-        step += 1
-        if profile_dir and step == 15:
+        step += k_dispatch
+        if profile_dir and step - k_dispatch < 15 <= step:
             _ = float(m["loss"])
             jax.profiler.stop_trace()
             log.log("profile", trace_dir=profile_dir, steps="10-14")
         return m
 
+    def _crossed(every: int) -> bool:
+        """Did [step-k_dispatch, step] cross a cadence boundary?"""
+        return (step // every) != ((step - k_dispatch) // every)
+
     def bookkeep(m, bucket_id, batch_utts) -> bool:
-        """Per-step metrics / eval / checkpoint; True when run is complete."""
+        """Per-dispatch metrics / eval / checkpoint; True when complete."""
         nonlocal t_last, utts_since
         utts_since += batch_utts
-        if step % cfg.train.log_every == 0:
+        if _crossed(cfg.train.log_every):
             now = time.perf_counter()
             log.log("train", step=step, epoch=epoch,
                     loss=float(m["loss"]), grad_norm=float(m["grad_norm"]),
@@ -195,12 +204,12 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                     utt_per_sec=utts_since / (now - t_last),
                     bucket_id=int(bucket_id))
             t_last, utts_since = now, 0
-        if dev_batches and step % cfg.train.eval_every == 0:
+        if dev_batches and _crossed(cfg.train.eval_every):
             acc, dev_loss = evaluate(eval_fn, dev_loader, dev_batches,
                                      vocab, dev_utts)
             log.log("eval", step=step, cer=acc.cer, loss=dev_loss,
                     num_utts=acc.num_utts)
-        if step % cfg.train.checkpoint_every == 0:
+        if _crossed(cfg.train.checkpoint_every):
             path = save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
                                    keep=cfg.train.keep_checkpoints)
             log.log("checkpoint", step=step, path=path)
@@ -208,17 +217,20 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
 
     while not done:
         batches = epoch_batches(epoch)
-        # exact resume: skip batches already consumed this epoch
-        consumed = step - sum(len(epoch_batches(e)) for e in range(epoch))
+        # exact resume: skip dispatches already consumed this epoch
+        # (each dispatch advances step by k_dispatch)
+        consumed = (step - k_dispatch * sum(
+            len(epoch_batches(e)) for e in range(epoch))) // k_dispatch
         if consumed >= len(batches):
             epoch += 1
             continue
         todo = batches[max(consumed, 0):]
 
         if data_mode == "device_cache":
-            # steady state sends ONLY the [B] slot-id vector per step;
+            # steady state sends ONLY the slot-id vector per dispatch;
             # lookahead-1 so its (tiny) transfer overlaps step k's compute
-            sh = batch_sharding(mesh, cfg.parallel.data_axis)
+            sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
+                                   cfg.parallel.data_axis)
             it = iter(todo)
             pending = next(it, None)
             pending_dev = (jax.device_put(pending[1], sh)
@@ -230,7 +242,8 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                 if pending is not None:
                     pending_dev = jax.device_put(pending[1], sh)
                 if bookkeep(m, bucket_id,
-                            sampler.shapes[bucket_id].batch_size):
+                            sampler.shapes[bucket_id].batch_size
+                            * k_dispatch):
                     done = True
                     break
         else:

@@ -146,21 +146,36 @@ def make_train_step(model, cfg: Config, mesh) -> Callable:
     return call
 
 
-def make_cached_train_step(model, cfg: Config, mesh, corpus_cache) -> Callable:
+def make_cached_train_step(model, cfg: Config, mesh, corpus_cache,
+                           steps_per_dispatch: int = 1) -> Callable:
     """Train step fed from a DeviceCorpusCache (data/device_cache.py).
 
-    call(state, bucket_id, slot_ids) — ``slot_ids`` [B] int32 is the ONLY
+    call(state, bucket_id, slot_ids) — the slot-id vector is the ONLY
     per-step host→device transfer; inside shard_map each device gathers its
     B/n rows from its local HBM shard of the bucket (wide-row gather), then
     runs the exact same device step as the streaming path.
+
+    ``steps_per_dispatch`` = K > 1 runs K steps as one ``lax.scan`` inside a
+    single dispatch (slot_ids [K, B]): on relay-attached TPUs each dispatch
+    costs ~3-4 ms of host round-trip, which at contract step times is
+    20-35%% of wall clock — amortizing it was measured at +35%% (bigru B64)
+    and +17%% (bilstm_deep B16) end-to-end. Metrics come back averaged over
+    the K steps.
     """
     tx = make_optimizer(cfg.optim)
     axis = cfg.parallel.data_axis
     device_step = _make_device_step(model, cfg, tx, axis)
+    K = steps_per_dispatch
 
     def cached_step(state: TrainState, bucket, idx):
         batch = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), bucket)
         return device_step(state, batch)
+
+    def cached_multi(state: TrainState, bucket, idxs):   # idxs [K, kb]
+        def body(st, idx):
+            return cached_step(st, bucket, idx)
+        state, ms = jax.lax.scan(body, state, idxs)
+        return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
 
     compiled: dict = {}
 
@@ -168,9 +183,12 @@ def make_cached_train_step(model, cfg: Config, mesh, corpus_cache) -> Callable:
         if bucket_id not in compiled:
             bucket = corpus_cache.buckets[bucket_id]
             specs = {k: P(axis) for k in bucket}
+            idx_spec = P(axis) if K == 1 else P(None, axis)
+            fn = cached_step if K == 1 else cached_multi
             compiled[bucket_id] = jax.jit(
-                shard_map(cached_step, mesh=mesh,
-                          in_specs=(P(), specs, P(axis)), out_specs=(P(), P()),
+                shard_map(fn, mesh=mesh,
+                          in_specs=(P(), specs, idx_spec),
+                          out_specs=(P(), P()),
                           check_vma=False),
                 donate_argnums=(0,))
         return compiled[bucket_id](state, corpus_cache.buckets[bucket_id],

@@ -124,6 +124,23 @@ def test_lm_fusion_changes_decode_consistently():
     assert [int(x) for x in lm_dev[0]] == lm_ref
 
 
+def test_large_vocab_beam_matches_reference():
+    """Structural (sort-free) merge at production-like vocab width must
+    reproduce the host reference exactly."""
+    B, T, V = 4, 24, 60
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    for b in range(B):
+        path = rng.integers(0, V, T)
+        logits[b, np.arange(T), path] += 6.0
+    lens = rng.integers(12, T + 1, B)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    hyps = beam_decode(logits, lens, beam=8)
+    for b in range(B):
+        ref = beam_decode_reference(lp[b], lens[b], beam=8)
+        assert [int(x) for x in hyps[b]] == ref, b
+
+
 def test_unigram_lm_beta_only_matches_reference():
     """order-1 LM with alpha=0 but beta!=0: the insertion bonus must still
     apply on device (regression: fusion was gated on order>1 or alpha!=0)."""

@@ -108,6 +108,67 @@ def test_sampler_determinism_and_shapes(tmp_path):
         assert (batch["label_lengths"] > 0).all()
 
 
+def test_kaldi_style_corpus(tmp_path):
+    root = str(tmp_path / "kaldi")
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        sig, _ = make_utterance(rng, [1 + i % 3], tone_len=2000)
+        write_wav(os.path.join(root, f"a{i}.wav"), sig)
+        rows.append((f"utt-{i}", f"a{i}.wav", "あい"[i % 2]))
+    with open(os.path.join(root, "wav.scp"), "w") as f:
+        f.writelines(f"{u} {w}\n" for u, w, _ in rows)
+    with open(os.path.join(root, "text"), "w", encoding="utf-8") as f:
+        f.writelines(f"{u} {t}\n" for u, _, t in rows)
+    from chainer_speech_recognition_tpu.data.corpus import scan_kaldi_style
+    utts = scan_kaldi_style(root)
+    assert [u.utt_id for u in utts] == [f"utt-{i}" for i in range(4)]
+    assert utts[0].num_samples == 2000 and utts[0].text == "あ"
+    assert read_wav(utts[0].wav).shape == (2000,)
+
+
+def test_wav_resample_and_stereo_downmix(tmp_path):
+    """Non-16 kHz and stereo inputs are normalized on read (r1 item 10)."""
+    from chainer_speech_recognition_tpu.utils.wav import resample_sinc
+    sr_in = 22050
+    t = np.arange(int(sr_in * 0.25)) / sr_in
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    p = str(tmp_path / "hi.wav")
+    write_wav(p, tone, sample_rate=sr_in)
+    sig = read_wav(p)
+    assert abs(len(sig) - int(len(tone) * 16000 / sr_in)) <= 1
+    # the resampled tone still correlates >0.99 with an ideal 16 kHz tone
+    t16 = np.arange(len(sig)) / 16000.0
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * t16)
+    m = slice(100, len(sig) - 100)                 # ignore filter edges
+    corr = np.dot(sig[m], ref[m]) / (np.linalg.norm(sig[m])
+                                     * np.linalg.norm(ref[m]))
+    assert corr > 0.99, corr
+    # stereo: mean of channels
+    st = str(tmp_path / "st.wav")
+    left = np.linspace(-0.5, 0.5, 800).astype(np.float32)
+    right = np.full(800, 0.25, np.float32)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    write_wav(st, inter, channels=2)
+    got = read_wav(st)
+    np.testing.assert_allclose(got, (left + right) / 2, atol=1e-4)
+    # identity: 16 kHz passthrough untouched
+    assert resample_sinc(tone, 16000, 16000) is not None
+
+
+def test_mora_segmenter_and_multiunit_vocab():
+    from chainer_speech_recognition_tpu.vocab import Vocab, segment_mora
+    assert segment_mora("きゃく") == ["きゃ", "く"]
+    assert segment_mora("ファン") == ["ファ", "ン"]
+    assert segment_mora("こんにちは") == list("こんにちは")
+    v = Vocab.build(["きゃく", "くち"], add_unk=False, unit="mora")
+    ids = v.encode("きゃく")
+    assert len(ids) == 2 and v.decode(ids) == "きゃく"
+    # greedy longest-match prefers the multi-char unit
+    assert v.encode("きゃ") == [v._to_id["きゃ"]]
+
+
 def test_prefetcher_early_stop(tmp_path):
     """Abandoning iteration early must terminate the loader thread."""
     import threading

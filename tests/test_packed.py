@@ -132,7 +132,7 @@ def test_device_cache_step_matches_stream_step(tmp_path):
 def test_train_device_cache_mode_and_exact_resume(tmp_path):
     utts, vocab, pc = _packed(tmp_path, n=48)
     cfg = _tiny_cfg(len(vocab)).override({
-        "train.data_mode": "device_cache",
+        "train.data_mode": "device_cache", "train.steps_per_dispatch": 1,
         "train.total_steps": 6, "train.checkpoint_every": 3,
         "train.log_every": 2, "train.eval_every": 1000,
         "train.checkpoint_dir": str(tmp_path / "ckpt_a")})
@@ -152,12 +152,36 @@ def test_train_device_cache_mode_and_exact_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_train_multistep_dispatch_and_exact_resume(tmp_path):
+    """steps_per_dispatch=3: K optimizer steps per host dispatch (lax.scan
+    in-jit). Resume from a dispatch-boundary checkpoint must be bitwise."""
+    utts, vocab, pc = _packed(tmp_path, n=48)
+    cfg = _tiny_cfg(len(vocab)).override({
+        "train.data_mode": "device_cache", "train.steps_per_dispatch": 3,
+        "train.total_steps": 12, "train.checkpoint_every": 6,
+        "train.log_every": 3, "train.eval_every": 1000,
+        "train.checkpoint_dir": str(tmp_path / "ckpt_a")})
+    loader = PackedBatchLoader(pc, cfg.buckets)
+    state_full = train(cfg, utts, vocab, resume=False, loader=loader)
+    assert int(state_full.step) == 12
+
+    cfg_b = cfg.override({"train.total_steps": 6,
+                          "train.checkpoint_dir": str(tmp_path / "ckpt_b")})
+    train(cfg_b, utts, vocab, resume=False, loader=loader)
+    state_res = train(cfg_b.override({"train.total_steps": 12}), utts, vocab,
+                      resume=True, loader=loader)
+    assert int(state_res.step) == 12
+    for a, b in zip(jax.tree.leaves(state_full.params),
+                    jax.tree.leaves(state_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_finished_run_resumes_to_noop(tmp_path):
     """Resuming a run whose checkpoint already hit total_steps must not
     execute any extra step (VERDICT.md round-1 Weak #7)."""
     utts, vocab, pc = _packed(tmp_path, n=48)
     cfg = _tiny_cfg(len(vocab)).override({
-        "train.data_mode": "device_cache",
+        "train.data_mode": "device_cache", "train.steps_per_dispatch": 1,
         "train.total_steps": 2, "train.checkpoint_every": 2,
         "train.checkpoint_dir": str(tmp_path / "ckpt")})
     loader = PackedBatchLoader(pc, cfg.buckets)
