@@ -10,7 +10,8 @@ import os
 
 from ..config import BucketConfig
 from ..data.buckets import padding_waste
-from ..data.corpus import build_vocab, save_index, scan_corpus, scan_kaldi_style
+from ..data.corpus import (build_vocab, normalize_texts, save_index,
+                           scan_corpus, scan_kaldi_style)
 
 
 def main(argv=None):
@@ -30,7 +31,15 @@ def main(argv=None):
                    help="label unit segmenter (vocab.py SEGMENTERS)")
     p.add_argument("--format", default="pairs", choices=["pairs", "kaldi"],
                    help="corpus layout: wav+txt sibling pairs (default) or "
-                        "Kaldi-style wav.scp + text files")
+                        "Kaldi-style wav.scp + text (+ optional segments) "
+                        "files — the CSJ interchange layout")
+    p.add_argument("--normalize-text", action="store_true",
+                   help="CSJ-style Japanese transcript cleanup: strip "
+                        "filler/disfluency/event tags, NFKC, punctuation "
+                        "(data/jptext.py); empty-after-cleanup utterances "
+                        "are dropped")
+    p.add_argument("--kana", default=None, choices=["katakana", "hiragana"],
+                   help="with --normalize-text: fold kana into one script")
     p.add_argument("--pack", action="store_true",
                    help="also write packed binary corpora (train.pack / "
                         "dev.pack): mmap-able int16 PCM + pre-encoded "
@@ -39,6 +48,12 @@ def main(argv=None):
 
     scan = scan_kaldi_style if args.format == "kaldi" else scan_corpus
     utts = scan(args.corpus)
+    if args.normalize_text:
+        n0 = len(utts)
+        utts = normalize_texts(utts, kana=args.kana)
+        if len(utts) < n0:
+            print(f"normalize-text: dropped {n0 - len(utts)} "
+                  "empty-after-cleanup utterances")
     if not utts:
         raise SystemExit(f"no utterances found under {args.corpus} "
                          f"(format={args.format})")
@@ -49,16 +64,18 @@ def main(argv=None):
 
         import numpy as np
 
+        from ..data.corpus import RecordingCache, load_signal
         from ..frontend.golden_np import features as golden_features
         from ..utils.wav import read_wav
 
         feat_dir = os.path.join(args.out, "features")
         os.makedirs(feat_dir, exist_ok=True)
         cached = []
+        cached_read = RecordingCache(read_wav)
         for u in utts:
             path = os.path.join(feat_dir, u.utt_id.replace("/", "__") + ".npy")
             if not os.path.exists(path):
-                f = golden_features(read_wav(u.wav),
+                f = golden_features(load_signal(u, cached_read),
                                     apply_cmvn=not args.no_cmvn)
                 np.save(path, f)
             cached.append(dataclasses.replace(u, feat=path))

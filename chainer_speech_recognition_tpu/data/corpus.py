@@ -9,6 +9,7 @@ written by ``cli/preprocess.py`` so training never re-walks the corpus.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import json
 import os
@@ -26,10 +27,44 @@ class Utterance:
     text: str
     num_samples: int
     feat: str | None = None     # optional cached-feature .npy (SURVEY §2.1)
+    offset_samples: int = 0     # segment start within the recording (at the
+                                # contract rate) — Kaldi ``segments`` support
 
     @property
     def num_frames(self) -> int:
         return C.num_frames(self.num_samples)
+
+
+class RecordingCache:
+    """Tiny decoded-recording memo for segment-style corpora, where many
+    utterances slice one long wav: without it, loading N segments decodes
+    the recording N times. Two slots cover the sequential access patterns
+    of both pack_corpus and the (per-worker) batch loaders."""
+
+    def __init__(self, read_fn, maxsize: int = 2):
+        self.read_fn = read_fn
+        self.maxsize = maxsize
+        self._slots: collections.OrderedDict = collections.OrderedDict()
+
+    def __call__(self, path: str):
+        if path in self._slots:
+            self._slots.move_to_end(path)
+            return self._slots[path]
+        sig = self.read_fn(path)
+        self._slots[path] = sig
+        if len(self._slots) > self.maxsize:
+            self._slots.popitem(last=False)
+        return sig
+
+
+def load_signal(u: Utterance, read_fn):
+    """Read an utterance's PCM, honoring its segment window. ``read_fn``
+    maps wav path → float32 PCM at the contract rate (utils/wav.read_wav or
+    a RecordingCache around it)."""
+    sig = read_fn(u.wav)
+    if u.offset_samples or len(sig) > u.num_samples:
+        sig = sig[u.offset_samples: u.offset_samples + u.num_samples]
+    return sig
 
 
 def scan_corpus(root: str) -> list[Utterance]:
@@ -52,34 +87,76 @@ def scan_corpus(root: str) -> list[Utterance]:
     return utts
 
 
+def _read_two_col(path: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+    return out
+
+
 def scan_kaldi_style(root: str) -> list[Utterance]:
-    """Read a Kaldi-style corpus dir: ``wav.scp`` (utt_id → wav path) +
-    ``text`` (utt_id → transcript). The common interchange format for CSJ
-    and other licensed corpora (whose own distribution formats vary);
-    utterances present in both files are indexed, order = sorted utt_id."""
-    wavs: dict[str, str] = {}
-    with open(os.path.join(root, "wav.scp"), encoding="utf-8") as f:
-        for line in f:
-            parts = line.strip().split(None, 1)
-            if len(parts) == 2:
-                wavs[parts[0]] = parts[1]
-    texts: dict[str, str] = {}
-    with open(os.path.join(root, "text"), encoding="utf-8") as f:
-        for line in f:
-            parts = line.strip().split(None, 1)
-            if len(parts) == 2:
-                texts[parts[0]] = parts[1]
+    """Read a Kaldi-style corpus dir: ``wav.scp`` (recording_id → wav path)
+    + ``text`` (utt_id → transcript) + optional ``segments``
+    (utt_id recording_id start_sec end_sec). The common interchange format
+    for CSJ and other licensed corpora (whose own distribution formats
+    vary). Without ``segments``, each recording is one utterance. With it,
+    utterances are windows into long recordings (a CSJ lecture is one wav);
+    loaders slice via Utterance.offset_samples (see load_signal). Order =
+    sorted utt_id."""
+    wavs = _read_two_col(os.path.join(root, "wav.scp"))
+    texts = _read_two_col(os.path.join(root, "text"))
+
+    def resolve(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(root, p)
+
     utts = []
+    seg_path = os.path.join(root, "segments")
+    if os.path.exists(seg_path):
+        segs: dict[str, tuple[str, float, float]] = {}
+        with open(seg_path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 4:
+                    segs[parts[0]] = (parts[1], float(parts[2]),
+                                      float(parts[3]))
+        for utt_id in sorted(segs.keys() & texts.keys()):
+            rec_id, start, end = segs[utt_id]
+            if rec_id not in wavs or end <= start:
+                continue
+            # offsets/lengths at the CONTRACT rate: read paths resample
+            # to SAMPLE_RATE before slicing (utils/wav.py, load_signal)
+            off = int(round(start * C.SAMPLE_RATE))
+            n = int(round(end * C.SAMPLE_RATE)) - off
+            utts.append(Utterance(utt_id, resolve(wavs[rec_id]),
+                                  texts[utt_id], n, offset_samples=off))
+        return utts
+
     for utt_id in sorted(wavs.keys() & texts.keys()):
-        wav_path = wavs[utt_id]
-        if not os.path.isabs(wav_path):
-            wav_path = os.path.join(root, wav_path)
+        wav_path = resolve(wavs[utt_id])
         with wave.open(wav_path, "rb") as w:
-            # index frame counts at the CONTRACT rate so bucketing is
-            # correct even for to-be-resampled inputs (utils/wav.py)
+            # frame counts at the CONTRACT rate so bucketing is correct
+            # even for to-be-resampled inputs (utils/wav.py)
             n = int(w.getnframes() * C.SAMPLE_RATE / w.getframerate())
         utts.append(Utterance(utt_id, wav_path, texts[utt_id], n))
     return utts
+
+
+def normalize_texts(utts: list[Utterance], *, kana: str | None = None,
+                    strip_tags: bool = True) -> list[Utterance]:
+    """Apply CSJ-style Japanese transcript normalization (data/jptext.py)
+    to every utterance; drops utterances whose transcript normalizes to
+    empty (pure-filler segments)."""
+    from .jptext import normalize
+
+    out = []
+    for u in utts:
+        t = normalize(u.text, kana=kana, strip_tags=strip_tags)
+        if t:
+            out.append(dataclasses.replace(u, text=t))
+    return out
 
 
 def save_index(path: str, utts: list[Utterance]) -> None:

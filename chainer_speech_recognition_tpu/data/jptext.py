@@ -1,0 +1,97 @@
+"""Japanese transcript normalization for CSJ-style corpora.
+
+The reference trained on kana transcripts of the Corpus of Spontaneous
+Japanese, whose raw annotation carries filler/disfluency tags, multiple
+readings, and mixed-width punctuation (SURVEY.md §2.2 "Tokenizer/vocab";
+the reference's CSJ preprocessing is [upstream, unverifiable — mount
+empty], so this module implements the standard CSJ-style cleanup rather
+than a verbatim port):
+
+* ``(F …)``  filler            → dropped
+* ``(D …)``/``(D2 …)`` disfluency fragments → dropped
+* ``(? …)``  uncertain hearing → content kept (first alternative)
+* ``(A 左;右)`` annotation pair → LEFT side kept (pronunciation-side in
+  kana transcripts); other one-letter tags (M/O/R/X/K/W…) keep content
+* ``<…>`` events (laugh, cough, pause) → dropped
+* NFKC fold, punctuation/whitespace strip, optional hiragana↔katakana
+
+Everything is pure host-side text processing (runs once, in preprocess).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# tags whose CONTENT is removed along with the tag itself
+_DROP_CONTENT = {"F", "D", "D2", "L", "笑", "泣", "咳"}
+
+_TAG_OPEN = re.compile(r"\(([A-Za-z0-9?笑泣咳]{0,3})\s*")
+_ANGLE = re.compile(r"<[^<>]*>")
+
+# punctuation & separators (ASCII + CJK variants) removed after tag handling
+_PUNCT = re.compile(
+    r"[\s　。、，．,.!?！？・「」『』（）()\[\]｛｝{}〈〉《》：；:;\"'´`~＿—ー?-]"
+)
+# NOTE: the long-vowel mark ー is NOT punctuation in kana text — it is kept;
+# the class above strips the fullwidth dash lookalikes only. Built carefully:
+_PUNCT = re.compile(
+    r"[\s　。、，．,.!！?？・「」『』（）()\[\]｛｝{}〈〉《》：；:;\"'＿—…‥→↑↓←]"
+)
+
+
+def _strip_tags(text: str) -> str:
+    """Remove CSJ-style ``(TAG …)`` annotations, innermost-first.
+
+    ``(A left;right)`` keeps ``left``; tags in ``_DROP_CONTENT`` drop their
+    content; any other tag keeps its content. Unbalanced parens are left
+    as-is (then swept out by the punctuation pass).
+    """
+    # innermost-first: repeat until no "(TAG content-without-parens)" remains
+    pat = re.compile(r"\(\s*([^\s()]{0,4})\s+([^()]*)\)|\(([^()]*)\)")
+    while True:
+        m = pat.search(text)
+        if m is None:
+            return text
+        if m.group(3) is not None:        # bare parenthetical, no tag word
+            repl = m.group(3)
+        else:
+            tag, content = m.group(1), m.group(2)
+            if tag in _DROP_CONTENT:
+                repl = ""
+            elif ";" in content:          # (A 読み;表記) — keep left side
+                repl = content.split(";", 1)[0]
+            elif "," in content:
+                repl = content.split(",", 1)[0]
+            else:
+                repl = content
+        text = text[: m.start()] + repl + text[m.end():]
+
+
+def hira_to_kata(text: str) -> str:
+    return "".join(
+        chr(ord(c) + 0x60) if "ぁ" <= c <= "ゖ" else c for c in text)
+
+
+def kata_to_hira(text: str) -> str:
+    return "".join(
+        chr(ord(c) - 0x60) if "ァ" <= c <= "ヶ" else c for c in text)
+
+
+def normalize(text: str, *, kana: str | None = None,
+              strip_tags: bool = True) -> str:
+    """CSJ-style transcript → clean label string.
+
+    kana: None (leave), "katakana", or "hiragana" — fold the kana script so
+    the vocab doesn't split probability mass across two scripts.
+    """
+    if strip_tags:
+        text = _strip_tags(text)
+        text = _ANGLE.sub("", text)
+    text = unicodedata.normalize("NFKC", text)
+    text = _PUNCT.sub("", text)
+    if kana == "katakana":
+        text = hira_to_kata(text)
+    elif kana == "hiragana":
+        text = kata_to_hira(text)
+    return text

@@ -27,7 +27,7 @@ from .. import constants as C
 from ..vocab import Vocab
 from ..utils.wav import read_wav
 from .buckets import BucketShape, bucket_shapes
-from .corpus import Utterance
+from .corpus import RecordingCache, Utterance, load_signal
 
 MAGIC = b"CSRPACK1"
 
@@ -42,11 +42,12 @@ def pack_corpus(out_prefix: str, utts: list[Utterance], vocab: Vocab,
     label_offsets = np.zeros(len(utts) + 1, np.int64)
     labels_flat: list[np.ndarray] = []
     tmp = pack_path + ".tmp"
+    cached_read = RecordingCache(read_fn)   # segment corpora slice long wavs
     with open(tmp, "wb") as f:
         f.write(MAGIC)
         pos = 0
         for i, u in enumerate(utts):
-            sig = read_fn(u.wav)
+            sig = load_signal(u, cached_read)
             pcm = np.clip(np.asarray(sig) * 32768.0, -32768, 32767).astype("<i2")
             f.write(pcm.tobytes())
             offsets[i] = pos

@@ -19,7 +19,7 @@ from ..config import BucketConfig
 from ..vocab import Vocab
 from ..utils.wav import read_wav
 from .buckets import BucketShape, assign_bucket, bucket_shapes
-from .corpus import Utterance
+from .corpus import RecordingCache, Utterance, load_signal
 
 
 class BucketSampler:
@@ -137,9 +137,10 @@ class BatchLoader:
                     "bucket_id": bucket_id, **extra}
         signals = np.zeros((B, shape.max_samples), np.float32)
         num_samples = np.zeros(B, np.int32)
+        cached_read = RecordingCache(self.read_fn)
         for i, u_idx in enumerate(idxs):
             u = self.utts[int(u_idx)]
-            sig = self.read_fn(u.wav)
+            sig = load_signal(u, cached_read)
             n = min(len(sig), shape.max_samples)
             signals[i, :n] = sig[:n]
             num_samples[i] = n

@@ -1,0 +1,109 @@
+"""CSJ-style corpus ingestion: Kaldi segments + Japanese text normalization
+(VERDICT.md r1 "What's missing" #2 — corpus realism)."""
+
+import numpy as np
+import pytest
+
+from chainer_speech_recognition_tpu import constants as C
+from chainer_speech_recognition_tpu.config import BucketConfig
+from chainer_speech_recognition_tpu.data.corpus import (
+    build_vocab, load_signal, normalize_texts, scan_kaldi_style)
+from chainer_speech_recognition_tpu.data.jptext import (
+    hira_to_kata, kata_to_hira, normalize)
+from chainer_speech_recognition_tpu.data.packed import (
+    PackedBatchLoader, PackedCorpus, pack_corpus)
+from chainer_speech_recognition_tpu.data.sampler import BatchLoader
+from chainer_speech_recognition_tpu.utils.wav import read_wav, write_wav
+
+
+# ---------------------------------------------------------------------------
+# jptext
+# ---------------------------------------------------------------------------
+
+def test_normalize_strips_filler_and_event_tags():
+    assert normalize("(F えー)これは<笑>テストです。") == "これはテストです"
+
+
+def test_normalize_keeps_left_of_annotation_pairs():
+    assert normalize("(A ニジュー;二十)パーセント") == "ニジューパーセント"
+    # nested: disfluency containing a filler
+    assert normalize("(D (F え)あの)きょう") == "きょう"
+
+
+def test_normalize_uncertain_keeps_content():
+    assert normalize("(? きょう)は") == "きょうは"
+
+
+def test_normalize_punct_and_nfkc():
+    # fullwidth digits/latin fold to ASCII; punctuation and spaces vanish
+    assert normalize("ＡＢ１、 こんにちは！") == "AB1こんにちは"
+    # the kana long-vowel mark must survive punctuation stripping
+    assert normalize("コーヒー") == "コーヒー"
+
+
+def test_kana_folding_roundtrip():
+    assert hira_to_kata("こんにちは") == "コンニチハ"
+    assert kata_to_hira("コンニチハ") == "こんにちは"
+    assert normalize("こんにちはコーヒー", kana="katakana") == "コンニチハコーヒー"
+
+
+# ---------------------------------------------------------------------------
+# segments ingestion
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def seg_corpus(tmp_path):
+    """One 4-second recording carved into two utterances + one plain
+    recording without a segment entry (ignored by segments mode)."""
+    rec = tmp_path / "rec1.wav"
+    t = np.arange(4 * C.SAMPLE_RATE, dtype=np.float32)
+    sig = 0.3 * np.sin(2 * np.pi * 440.0 * t / C.SAMPLE_RATE)
+    write_wav(str(rec), sig)
+    (tmp_path / "wav.scp").write_text("rec1 rec1.wav\n", encoding="utf-8")
+    (tmp_path / "segments").write_text(
+        "rec1_001 rec1 0.50 1.50\n"
+        "rec1_002 rec1 2.00 3.75\n"
+        "rec1_999 missing 0.0 1.0\n",      # unknown recording: skipped
+        encoding="utf-8")
+    (tmp_path / "text").write_text(
+        "rec1_001 (F えー)こんにちは。\n"
+        "rec1_002 さようなら\n", encoding="utf-8")
+    return tmp_path, sig
+
+
+def test_scan_segments(seg_corpus):
+    root, sig = seg_corpus
+    utts = scan_kaldi_style(str(root))
+    assert [u.utt_id for u in utts] == ["rec1_001", "rec1_002"]
+    u1, u2 = utts
+    assert u1.offset_samples == C.SAMPLE_RATE // 2
+    assert u1.num_samples == C.SAMPLE_RATE
+    assert u2.num_samples == int(1.75 * C.SAMPLE_RATE)
+    # load_signal slices the recording exactly
+    s1 = load_signal(u1, read_wav)
+    np.testing.assert_allclose(
+        s1, np.asarray(sig[8000:24000]), atol=1 / 32768.0)
+    utts = normalize_texts(utts)
+    assert utts[0].text == "こんにちは"
+
+
+def test_segments_through_pack_and_loader(seg_corpus, tmp_path):
+    root, sig = seg_corpus
+    utts = normalize_texts(scan_kaldi_style(str(root)))
+    vocab = build_vocab(utts)
+    cfg = BucketConfig(boundaries=(4096,), batch_sizes=(2,), max_label_len=16)
+
+    # packed path: the pack stores the SLICED segments
+    prefix = str(tmp_path / "seg")
+    pack_corpus(prefix, utts, vocab)
+    pc = PackedCorpus(prefix)
+    np.testing.assert_allclose(pc.signal(0), load_signal(utts[0], read_wav),
+                               atol=2 / 32768.0)
+    assert pc.signal_i16(1).shape[0] == utts[1].num_samples
+
+    # streaming BatchLoader slices too
+    b = BatchLoader(utts, vocab, cfg).load(0, np.array([0, 1]))
+    assert b["num_samples"][0] == utts[0].num_samples
+    np.testing.assert_allclose(
+        b["signals"][0, : utts[0].num_samples],
+        load_signal(utts[0], read_wav), atol=1 / 32768.0)
