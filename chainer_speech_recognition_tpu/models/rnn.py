@@ -93,10 +93,12 @@ class BiRNNLayer(nn.Module):
 
         impl = self.impl
         if impl == "auto":
+            # bf16 HBM streams need 16-row tiles; fp32 needs 8
+            rows = 16 if jnp.dtype(self.dtype) != jnp.float32 else 8
             impl = ("pallas" if jax.default_backend() == "tpu"
-                    and H % 128 == 0 and (2 * B) % 8 == 0 else "scan")
+                    and H % 128 == 0 and (2 * B) % rows == 0 else "scan")
         if impl == "pallas":
-            from ..ops.rnn_pallas import birnn_pallas
+            from ..ops.rnn_pallas import _stream_dt, birnn_pallas
 
             lens_f = lengths.astype(jnp.float32)
             lo = jnp.concatenate([jnp.zeros((B,), jnp.float32),
@@ -104,7 +106,11 @@ class BiRNNLayer(nn.Module):
             hi = jnp.concatenate([lens_f,
                                   jnp.full((B,), T, jnp.float32)],
                                  axis=0)[:, None]
-            ys = birnn_pallas(xs.reshape(T, 2 * B, ngates * H),
+            # xs streams to/from HBM in the kernel's storage dtype (bf16
+            # under bf16 compute — the Dense outputs were bf16 anyway, so
+            # this halves the stream without changing any value)
+            sdt = _stream_dt(jnp.dtype(self.dtype))
+            ys = birnn_pallas(xs.reshape(T, 2 * B, ngates * H).astype(sdt),
                               w_h, lo, hi, self.cell,
                               jnp.dtype(self.dtype).name)
             fwd = jnp.swapaxes(ys[:, :B], 0, 1)             # [B, T, H]

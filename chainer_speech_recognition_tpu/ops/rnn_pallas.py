@@ -18,8 +18,14 @@ Layout (per layer):
   ys   [T, R, H]  fp32   — emitted carries (h), frozen outside [lo, hi)
 
 The forward kernel walks the time grid with h (‖c) resident in VMEM and
-STREAMS the gate activations to HBM ([T, R, G·H] fp32 — ~0.2 GB/layer at
-contract shapes, ~0.25 µs/step of write bandwidth). The backward kernel
+STREAMS the gate activations to HBM ([T, R, G·H] — ~0.2 GB/layer at
+contract shapes, ~0.25 µs/step of write bandwidth). Under bf16 compute
+(production), the streamed tensors — input pre-activations xs, stored
+gates, and the emitted input-gradient dxs — travel as bf16 (half the HBM
+traffic; the values already passed through bf16 matmuls, so storage adds
+no precision class below the compute noise), while carries, outputs ys/cs
+and the dh chain stay fp32. Under fp32 compute everything streams fp32
+and the kernel is bit-tight against the lax.scan oracle. The backward kernel
 re-walks in reverse and is latency-bound on the sequential dependency, so
 its per-step critical path is kept minimal: read the stored gates (no
 gate-recompute matmul), derivative algebra on the VPU, ONE transposed
@@ -72,6 +78,7 @@ def _gru_gates(xp, hp, h, H):
 
 def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
                     ys_ref, gates_ref, h_scr):
+    """gates_ref is None in inference mode (no residual stream)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -79,7 +86,7 @@ def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
         h_scr[:, :] = jnp.zeros(h_scr.shape, jnp.float32)
 
     h = h_scr[:, :]
-    xp = xs_ref[0]
+    xp = xs_ref[0].astype(jnp.float32)
     hp = _dot2(h, w_ref, B, dtype)
     r, z, n, h_new = _gru_gates(xp, hp, h, H)
     h_new = jnp.where(_valid(lo_ref, hi_ref, t), h_new, h)
@@ -88,7 +95,9 @@ def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
     # stored activations (r, z, n, hn): the bwd pass needs NO matmul to
     # rebuild the gate state — its critical path shrinks to VPU algebra
     # plus the single dh matmul
-    gates_ref[0] = jnp.concatenate([r, z, n, hp[:, 2*H:]], axis=1)
+    if gates_ref is not None:
+        gates_ref[0] = jnp.concatenate(
+            [r, z, n, hp[:, 2*H:]], axis=1).astype(gates_ref.dtype)
 
 
 def _gru_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
@@ -103,7 +112,7 @@ def _gru_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
 
     dh_total = g_ref[0] + dh_scr[:, :]                     # [R, H]
     h_prev = hprev_ref[0]
-    gates = gates_ref[0]
+    gates = gates_ref[0].astype(jnp.float32)
     r, z, n, hn = (gates[:, :H], gates[:, H:2*H],
                    gates[:, 2*H:3*H], gates[:, 3*H:])
 
@@ -116,10 +125,10 @@ def _gru_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
     dh_prev = dh_total * z + _dot2(dhp, w_ref, B, dtype, transpose=True)
 
     valid = _valid(lo_ref, hi_ref, t)
-    dxs_ref[0] = jnp.where(valid, dxp, 0.0)
+    dxs_ref[0] = jnp.where(valid, dxp, 0.0).astype(dxs_ref.dtype)
     # masked recurrent-gate grads stream out; dW = Σ_t h_prevᵀ·dhp happens
     # as one large XLA einsum after the kernel (off the sequential path)
-    dhp_ref[0] = jnp.where(valid, dhp, 0.0)
+    dhp_ref[0] = jnp.where(valid, dhp, 0.0).astype(dhp_ref.dtype)
     dh_scr[:, :] = jnp.where(valid, dh_prev, dh_total)
 
 
@@ -138,6 +147,7 @@ def _lstm_gates(xp, hp, H):
 
 def _lstm_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
                      ys_ref, cs_ref, gates_ref, hc_scr):
+    """cs_ref/gates_ref are None in inference mode (no residual streams)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -145,7 +155,7 @@ def _lstm_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
         hc_scr[:, :] = jnp.zeros(hc_scr.shape, jnp.float32)
 
     h, c = hc_scr[:, :H], hc_scr[:, H:]
-    xp = xs_ref[0]
+    xp = xs_ref[0].astype(jnp.float32)
     hp = _dot2(h, w_ref, B, dtype)
     i, f, o, u = _lstm_gates(xp, hp, H)
     c_new = f * c + i * u
@@ -155,9 +165,11 @@ def _lstm_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
     c_new = jnp.where(valid, c_new, c)
     hc_scr[:, :] = jnp.concatenate([h_new, c_new], axis=1)
     ys_ref[0] = h_new
-    cs_ref[0] = c_new
-    # stored activations: bwd needs no gate-recompute matmul (see module doc)
-    gates_ref[0] = jnp.concatenate([i, f, o, u], axis=1)
+    if cs_ref is not None:
+        cs_ref[0] = c_new
+        # stored activations: bwd needs no gate-recompute matmul (module doc)
+        gates_ref[0] = jnp.concatenate(
+            [i, f, o, u], axis=1).astype(gates_ref.dtype)
 
 
 def _lstm_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
@@ -174,7 +186,7 @@ def _lstm_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
     dc_carry = dhc_scr[:, H:]
     c_prev = cprev_ref[0]
     c_t = cs_ref[0]
-    gates = gates_ref[0]
+    gates = gates_ref[0].astype(jnp.float32)
     i, f, o, u = (gates[:, :H], gates[:, H:2*H],
                   gates[:, 2*H:3*H], gates[:, 3*H:])
 
@@ -191,7 +203,7 @@ def _lstm_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
     valid = _valid(lo_ref, hi_ref, t)
     # dxs doubles as the masked recurrent-gate grads (dg): dW is computed
     # from it by one large XLA einsum after the kernel
-    dxs_ref[0] = jnp.where(valid, dg, 0.0)
+    dxs_ref[0] = jnp.where(valid, dg, 0.0).astype(dxs_ref.dtype)
     new_dh = jnp.where(valid, dh_prev, dh_total)
     new_dc = jnp.where(valid, dc_prev, dc_carry)
     dhc_scr[:, :] = jnp.concatenate([new_dh, new_dc], axis=1)
@@ -215,45 +227,73 @@ def _specs_tbx_rev(R, width, T):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def birnn_pallas(xs, w, lo, hi, cell: str, dtype_name: str):
-    ys, _, _ = _fwd_impl(xs, w, lo, hi, cell, dtype_name)
+    # primal-only call (inference/eval/decode — nothing differentiates
+    # this): skip the residual streams entirely. XLA cannot DCE Pallas
+    # outputs, so the saving must happen here, not in the compiler.
+    ys, _, _ = _fwd_impl(xs, w, lo, hi, cell, dtype_name, residuals=False)
     return ys
 
 
-def _fwd_impl(xs, w, lo, hi, cell, dtype_name):
+def _stream_dt(dtype):
+    """HBM-stream storage dtype: bf16 under bf16 compute (half the HBM
+    traffic; adds nothing below the bf16-matmul noise floor), fp32 under
+    fp32 compute (keeps the kernel bit-tight against the scan oracle)."""
+    return jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
+
+
+def _fwd_impl(xs, w, lo, hi, cell, dtype_name, residuals=True):
     T, R, GH = xs.shape
     H = w.shape[1]
     B = R // 2
     dtype = jnp.dtype(dtype_name)
+    sdt = _stream_dt(dtype)
+    assert xs.dtype == sdt, (
+        f"birnn_pallas: xs must arrive in the stream dtype {sdt} for "
+        f"compute dtype {dtype} (got {xs.dtype}) — models/rnn.py casts")
     grid = (1, T)
     rw = lambda width: pl.BlockSpec((R, width), lambda i, t: (0, 0))
+    in_specs = [_specs_tbx(R, GH),
+                pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
+                rw(1), rw(1)]
     if cell == "gru":
-        kern = functools.partial(_gru_fwd_kernel, B, H, dtype)
-        ys, gates = pl.pallas_call(
-            kern, grid=grid,
-            in_specs=[_specs_tbx(R, GH),
-                      pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
-                      rw(1), rw(1)],
-            out_specs=[_specs_tbx(R, H), _specs_tbx(R, 4 * H)],
-            out_shape=[jax.ShapeDtypeStruct((T, R, H), jnp.float32),
-                       jax.ShapeDtypeStruct((T, R, 4 * H), jnp.float32)],
+        if residuals:
+            kern = functools.partial(_gru_fwd_kernel, B, H, dtype)
+            out_specs = [_specs_tbx(R, H), _specs_tbx(R, 4 * H)]
+            out_shape = [jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+                         jax.ShapeDtypeStruct((T, R, 4 * H), sdt)]
+        else:
+            def kern(xs_r, w_r, lo_r, hi_r, ys_r, h_scr):
+                _gru_fwd_kernel(B, H, dtype, xs_r, w_r, lo_r, hi_r,
+                                ys_r, None, h_scr)
+            out_specs = _specs_tbx(R, H)
+            out_shape = jax.ShapeDtypeStruct((T, R, H), jnp.float32)
+        out = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
             interpret=_interp(),
         )(xs, w, lo, hi)
-        return ys, None, gates
-    kern = functools.partial(_lstm_fwd_kernel, B, H, dtype)
-    ys, cs, gates = pl.pallas_call(
-        kern, grid=grid,
-        in_specs=[_specs_tbx(R, GH),
-                  pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
-                  rw(1), rw(1)],
-        out_specs=[_specs_tbx(R, H), _specs_tbx(R, H), _specs_tbx(R, 4 * H)],
-        out_shape=[jax.ShapeDtypeStruct((T, R, H), jnp.float32),
-                   jax.ShapeDtypeStruct((T, R, H), jnp.float32),
-                   jax.ShapeDtypeStruct((T, R, 4 * H), jnp.float32)],
+        return (out[0], None, out[1]) if residuals else (out, None, None)
+    if residuals:
+        kern = functools.partial(_lstm_fwd_kernel, B, H, dtype)
+        out_specs = [_specs_tbx(R, H), _specs_tbx(R, H),
+                     _specs_tbx(R, 4 * H)]
+        out_shape = [jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+                     jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+                     jax.ShapeDtypeStruct((T, R, 4 * H), sdt)]
+    else:
+        def kern(xs_r, w_r, lo_r, hi_r, ys_r, hc_scr):
+            _lstm_fwd_kernel(B, H, dtype, xs_r, w_r, lo_r, hi_r,
+                             ys_r, None, None, hc_scr)
+        out_specs = _specs_tbx(R, H)
+        out_shape = jax.ShapeDtypeStruct((T, R, H), jnp.float32)
+    out = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
         interpret=_interp(),
     )(xs, w, lo, hi)
-    return ys, cs, gates
+    return out if residuals else (out, None, None)
 
 
 def _birnn_fwd(xs, w, lo, hi, cell, dtype_name):
@@ -286,6 +326,7 @@ def _birnn_bwd(cell, dtype_name, res, g):
     GH = w.shape[2]
     B = R // 2
     dtype = jnp.dtype(dtype_name)
+    sdt = _stream_dt(dtype)     # == xs.dtype (asserted in _fwd_impl)
     grid = (1, T)
     rw = lambda width: pl.BlockSpec((R, width), lambda i, t: (0, 0))
     h_prev = _shift_prev(ys)
@@ -298,8 +339,8 @@ def _birnn_bwd(cell, dtype_name, res, g):
                       rw(1), rw(1),
                       _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T)],
             out_specs=[_specs_tbx_rev(R, GH, T), _specs_tbx_rev(R, GH, T)],
-            out_shape=[jax.ShapeDtypeStruct((T, R, GH), jnp.float32),
-                       jax.ShapeDtypeStruct((T, R, GH), jnp.float32)],
+            out_shape=[jax.ShapeDtypeStruct((T, R, GH), sdt),
+                       jax.ShapeDtypeStruct((T, R, GH), sdt)],
             scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
             interpret=_interp(),
         )(gates, w, lo, hi, h_prev, g)
@@ -315,7 +356,7 @@ def _birnn_bwd(cell, dtype_name, res, g):
                       _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T),
                       _specs_tbx_rev(R, H, T)],
             out_specs=_specs_tbx_rev(R, GH, T),
-            out_shape=jax.ShapeDtypeStruct((T, R, GH), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T, R, GH), sdt),
             scratch_shapes=[pltpu.VMEM((R, 2 * H), jnp.float32)],
             interpret=_interp(),
         )(gates, w, lo, hi, c_prev, cs, g)

@@ -56,6 +56,36 @@ def test_pallas_birnn_grad_matches_scan(cell):
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_pallas_birnn_bf16_streams_close_to_scan(cell):
+    """Under bf16 compute the kernel streams xs/gates/dxs as bf16 (half
+    the HBM traffic); values+grads must stay within bf16 noise of the
+    bf16 scan path."""
+    x, lens = _data(seed=3, B=4, T=11, D=8)
+    scan_layer = BiRNNLayer(hidden=8, cell=cell, dtype=jnp.bfloat16,
+                            impl="scan")
+    pal_layer = BiRNNLayer(hidden=8, cell=cell, dtype=jnp.bfloat16,
+                           impl="pallas")
+    params = scan_layer.init(jax.random.key(3), x, lens)
+
+    def loss(layer, p, xx):
+        y = layer.apply(p, xx, lens)
+        w = jnp.cos(jnp.arange(y.size, dtype=jnp.float32)).reshape(y.shape)
+        return jnp.sum(y * w)
+
+    y_scan = scan_layer.apply(params, x, lens)
+    y_pal = pal_layer.apply(params, x, lens)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_scan),
+                               atol=3e-2, rtol=3e-2)
+    g_scan = jax.grad(lambda p, xx: loss(scan_layer, p, xx),
+                      argnums=(0, 1))(params, x)
+    g_pal = jax.grad(lambda p, xx: loss(pal_layer, p, xx),
+                     argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-2, rtol=5e-2)
+
+
 def test_pallas_birnn_padding_invariance():
     x, _ = _data(seed=2, B=2, T=12, D=6)
     lens = jnp.asarray([12, 7])
