@@ -45,7 +45,7 @@ def main(argv=None):
                 k = int(rng.integers(1, args.vocab))
             ids.append(k)
         sig, _ = make_utterance(rng, ids, tone_len=tone_len,
-                                noise=args.noise)
+                                noise=args.noise, vocab_size=args.vocab)
         write_wav(os.path.join(args.out, f"u{i:05d}.wav"), sig)
         # symbol k ↔ the kana at codepoint 0x3041+k (stable, readable)
         text = "".join(chr(0x3041 + k) for k in ids)

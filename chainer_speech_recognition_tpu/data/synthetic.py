@@ -15,12 +15,35 @@ import numpy as np
 from .. import constants as C
 
 
+def tone_frequency(k: int, vocab_size: int | None = None) -> float:
+    """Symbol id (1-based) → tone frequency in Hz.
+
+    Small vocabularies keep the legacy linear map (200 + 150k Hz — all of
+    it sits comfortably inside the mel range). Large vocabularies are
+    spaced UNIFORMLY ON THE MEL SCALE within the filterbank's usable band:
+    with the linear map, ids above (MEL_FMAX-200)/150 ≈ 52 would fall
+    outside every mel triangle (zero feature energy → unlearnable symbol —
+    this exact bug put a ~0.36 CER floor on the 82-symbol parity corpus),
+    and high-frequency neighbours would share coarse mel bins.
+    """
+    if vocab_size is None or vocab_size <= 40:
+        return 200.0 + 150.0 * k
+    from ..frontend.golden_np import _hz_to_mel_slaney, _mel_to_hz_slaney
+
+    lo = _hz_to_mel_slaney(np.float64(300.0))
+    hi = _hz_to_mel_slaney(np.float64(min(C.MEL_FMAX, C.SAMPLE_RATE / 2)
+                                      * 0.92))
+    # ids are 1-based; id 0 is the CTC blank and never synthesized
+    frac = (k - 0.5) / max(vocab_size - 1, 1)
+    return float(_mel_to_hz_slaney(lo + frac * (hi - lo)))
+
+
 def make_utterance(rng: np.random.Generator, label_ids, tone_len=1600,
-                   noise=0.05, sr=C.SAMPLE_RATE):
+                   noise=0.05, sr=C.SAMPLE_RATE, vocab_size=None):
     """label ids (1-based) → (signal float32, labels int32)."""
     segs = []
     for k in label_ids:
-        freq = 200.0 + 150.0 * k
+        freq = tone_frequency(int(k), vocab_size)
         t = np.arange(tone_len) / sr
         phase = rng.uniform(0, 2 * np.pi)
         segs.append(np.sin(2 * np.pi * freq * t + phase))
@@ -42,7 +65,8 @@ def make_batch(rng: np.random.Generator, batch_size=8, vocab_size=8,
             while ids and k == ids[-1]:
                 k = int(rng.integers(1, vocab_size))
             ids.append(k)
-        utts.append(make_utterance(rng, ids, tone_len=tone_len))
+        utts.append(make_utterance(rng, ids, tone_len=tone_len,
+                                   vocab_size=vocab_size))
 
     n_max = max(len(s) for s, _ in utts)
     l_max = max_label_len or max(len(l) for _, l in utts)
