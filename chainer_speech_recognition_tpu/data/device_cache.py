@@ -148,3 +148,166 @@ class DeviceCorpusCache:
         return np.concatenate([
             self.utt_map[bid][d][slot_ids[d * k : (d + 1) * k]]
             for d in range(self.n)])
+
+
+class RotatingDeviceCache:
+    """Device-resident cache for corpora LARGER than the HBM budget.
+
+    The full-corpus DeviceCorpusCache needs the whole padded corpus in HBM;
+    a CSJ-scale corpus (~660 h ≈ 76 GB int16) does not fit. Falling back to
+    per-step streaming re-pays the host→device link every step (the round-1
+    wall). This rotates WINDOWS instead:
+
+    * each epoch, every bucket's device-local rows are permuted (seed,
+      epoch)-deterministically and chunked into ``n_windows`` fixed-size
+      slices, sized so one window ≤ half the budget;
+    * training runs all dispatches of window w while window w+1's host
+      assembly + async ``device_put`` proceeds in a background thread
+      (double-buffering: ≤ 2 windows resident);
+    * every step still sends only [K, B] slot ids; the per-bucket window
+      row counts are FIXED across windows, so the compiled step is reused
+      (buffers are call arguments, not compile-time constants).
+
+    Each epoch transfers the corpus once (like streaming) but in large
+    sequential copies that overlap compute, and every row is visited ≥ once
+    per epoch. Shuffling is window-local within an epoch and global across
+    epochs (rows are re-permuted before re-chunking) — the standard
+    shard-then-shuffle trade.
+    """
+
+    def __init__(self, mesh: Mesh, loader, sampler: BucketSampler,
+                 budget_bytes: int, axis: str = "data", seed: int = 0):
+        self.n = mesh.devices.size
+        self.axis = axis
+        self.seed = seed
+        self.loader = loader
+        self.shapes = sampler.shapes
+        self.sharding = NamedSharding(mesh, P(axis))
+        self.bucket_rows: dict[int, list[np.ndarray]] = {}   # per device
+        total = 0
+        for bid, idxs in enumerate(sampler.buckets):
+            if len(idxs) == 0:
+                continue
+            self.bucket_rows[bid] = [idxs[d :: self.n] for d in range(self.n)]
+            shape = self.shapes[bid]
+            per_row = (shape.max_samples * 2 + shape.max_label_len * 4 + 8)
+            total += per_row * len(idxs)
+        if not self.bucket_rows:
+            raise ValueError("rotating cache: no non-empty buckets")
+        self.n_windows = max(1, -(-total // max(int(budget_bytes) // 2, 1)))
+        # fixed per-device rows per window, per bucket (ceil split)
+        self.rows_per_window: dict[int, int] = {}
+        for bid, per_dev in self.bucket_rows.items():
+            r_max = max(len(l) for l in per_dev)
+            self.rows_per_window[bid] = -(-r_max // self.n_windows)
+
+    # ---- epoch plan -------------------------------------------------------
+
+    def _epoch_perms(self, epoch: int) -> dict[int, list[np.ndarray]]:
+        """Per-bucket, per-device permuted corpus rows for this epoch."""
+        rng = np.random.default_rng([self.seed, epoch, 0x307A7E])
+        return {bid: [l[rng.permutation(len(l))] for l in per_dev]
+                for bid, per_dev in self.bucket_rows.items()}
+
+    def _window_rows(self, perms, w: int) -> dict[int, np.ndarray]:
+        """[n, R_w] corpus-index matrix per bucket for window w (wrap-padded
+        so shapes are static; padded slots are never sampled)."""
+        out = {}
+        for bid, per_dev in perms.items():
+            R = self.rows_per_window[bid]
+            fallback = next(l for l in per_dev if len(l))   # same-bucket row
+            rows = []
+            for l in per_dev:
+                if len(l) == 0:      # device owns no rows of this bucket:
+                    rows.append(np.broadcast_to(fallback[:1], (R,)).copy())
+                    continue
+                # device-local slice of this window (wrap within the
+                # device's own rows — every device always contributes R)
+                idx = np.arange(w * R, (w + 1) * R) % len(l)
+                rows.append(l[idx])
+            out[bid] = np.stack(rows)
+        return out
+
+    def _window_counts(self, perms, w: int) -> dict[int, np.ndarray]:
+        """REAL (unwrapped) rows per device in window w, per bucket."""
+        out = {}
+        for bid, per_dev in perms.items():
+            R = self.rows_per_window[bid]
+            counts = []
+            for l in per_dev:
+                lo, hi = w * R, (w + 1) * R
+                counts.append(max(0, min(hi, len(l)) - lo))
+            out[bid] = np.asarray(counts, np.int32)
+        return out
+
+    def epoch_plan(self, epoch: int, steps_per_dispatch: int):
+        """[(window_id, bucket_id, slots [K, B] or [B])] — window ids are
+        contiguous non-decreasing so the loop swaps buffers on change."""
+        k = max(1, steps_per_dispatch)
+        perms = self._epoch_perms(epoch)
+        rng = np.random.default_rng([self.seed, epoch, 0x307A7F])
+        plan = []
+        for w in range(self.n_windows):
+            counts = self._window_counts(perms, w)
+            vecs_by_bucket: dict[int, list[np.ndarray]] = {}
+            for bid, c in counts.items():
+                B = self.shapes[bid].batch_size
+                if B % self.n:
+                    raise ValueError(
+                        f"bucket {bid}: batch size {B} not divisible by "
+                        f"mesh size {self.n}")
+                kb = B // self.n
+                if int(max(c)) == 0:
+                    continue
+                nb = -(-int(max(c)) // kb)
+                # sample window-LOCAL slot ids; wrap devices with fewer
+                # real rows (oversampling, as in DeviceCorpusCache)
+                perms_local = [np.resize(rng.permutation(max(int(ci), 1)),
+                                         nb * kb) for ci in c]
+                for j in range(nb):
+                    seg = [p[j * kb : (j + 1) * kb] for p in perms_local]
+                    vecs_by_bucket.setdefault(bid, []).append(
+                        np.concatenate(seg).astype(np.int32))
+            wplan = []
+            for bid, vecs in vecs_by_bucket.items():
+                if k == 1:
+                    wplan.extend((w, bid, v) for v in vecs)
+                else:
+                    while len(vecs) % k:
+                        vecs.append(vecs[len(vecs) % k - 1])
+                    wplan.extend((w, bid, np.stack(vecs[j : j + k]))
+                                 for j in range(0, len(vecs), k))
+            order = rng.permutation(len(wplan))
+            plan.extend(wplan[i] for i in order)
+        return plan
+
+    # ---- buffers ----------------------------------------------------------
+
+    def fetch_window(self, epoch: int, w: int) -> dict[int, dict]:
+        """Assemble window w's host arrays and start their async transfer.
+        Safe to call from a background thread (pure NumPy + device_put)."""
+        perms = self._epoch_perms(epoch)
+        rows = self._window_rows(perms, w)
+        buffers = {}
+        for bid, mat in rows.items():
+            host = self.loader.load(bid, mat.reshape(-1))
+            sig = host.get("signals_i16")
+            if sig is None:
+                sig = np.clip(host["signals"] * 32768.0,
+                              -32768, 32767).astype(np.int16)
+            buffers[bid] = {
+                "signals_i16": jax.device_put(sig, self.sharding),
+                "num_samples": jax.device_put(
+                    host["num_samples"].astype(np.int32), self.sharding),
+                "labels": jax.device_put(host["labels"], self.sharding),
+                "label_lengths": jax.device_put(
+                    host["label_lengths"], self.sharding),
+            }
+        return buffers
+
+    # make_cached_train_step reads .buckets at call time; the loop points
+    # this at the current window's buffers before its first dispatch
+    buckets: dict[int, dict] = {}
+
+    def set_window(self, buffers: dict[int, dict]) -> None:
+        self.buckets = buffers

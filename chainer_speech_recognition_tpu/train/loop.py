@@ -17,7 +17,8 @@ import numpy as np
 from ..config import Config
 from ..data.buckets import padding_waste
 from ..data.corpus import Utterance
-from ..data.device_cache import DeviceCorpusCache, estimate_bytes
+from ..data.device_cache import (DeviceCorpusCache, RotatingDeviceCache,
+                                 estimate_bytes)
 from ..data.sampler import BatchLoader, BucketSampler, Prefetcher
 from ..decode.greedy import greedy_decode
 from ..decode.metrics import CERAccumulator
@@ -60,17 +61,19 @@ def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
 
 
 def _resolve_data_mode(cfg: Config, sampler: BucketSampler) -> str:
-    """"stream" (host Prefetcher feeds padded batches) vs "device_cache"
-    (corpus lives in HBM, steps are fed [B] index vectors — see
-    data/device_cache.py for why this matters on relay-attached TPUs)."""
+    """"stream" (host Prefetcher feeds padded batches), "device_cache"
+    (whole corpus in HBM, steps fed [B] index vectors) or "rotating"
+    (corpus larger than the budget: fixed-size HBM windows, double-
+    buffered — see data/device_cache.py for why this matters on
+    relay-attached TPUs)."""
     mode = cfg.train.data_mode
-    if mode not in ("auto", "stream", "device_cache"):
+    if mode not in ("auto", "stream", "device_cache", "rotating"):
         raise ValueError(f"unknown train.data_mode: {mode!r}")
     if cfg.features.use_cache:           # precomputed-feature batches: stream
         return "stream"
     if mode == "auto":
         fits = estimate_bytes(sampler) <= cfg.train.device_cache_budget_gb * 1e9
-        return "device_cache" if fits else "stream"
+        return "device_cache" if fits else "rotating"
     return mode
 
 
@@ -122,7 +125,20 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
 
     data_mode = _resolve_data_mode(cfg, sampler)
     k_dispatch = 1
-    if data_mode == "device_cache":
+    if data_mode == "rotating":
+        k_dispatch = max(1, cfg.train.steps_per_dispatch)
+        corpus_cache = RotatingDeviceCache(
+            mesh, loader, sampler,
+            budget_bytes=int(cfg.train.device_cache_budget_gb * 1e9),
+            axis=cfg.parallel.data_axis, seed=cfg.train.seed)
+        train_step = make_cached_train_step(model, cfg, mesh, corpus_cache,
+                                            steps_per_dispatch=k_dispatch)
+        epoch_batches = (lambda e: corpus_cache.epoch_plan(e, k_dispatch))
+        log.log("data_mode", mode=data_mode,
+                steps_per_dispatch=k_dispatch,
+                n_windows=corpus_cache.n_windows,
+                corpus_bytes=estimate_bytes(sampler))
+    elif data_mode == "device_cache":
         t_c = time.perf_counter()
         k_dispatch = max(1, cfg.train.steps_per_dispatch)
         corpus_cache = DeviceCorpusCache(mesh, loader, sampler,
@@ -226,7 +242,43 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
             continue
         todo = batches[max(consumed, 0):]
 
-        if data_mode == "device_cache":
+        if data_mode == "rotating":
+            import concurrent.futures
+
+            sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
+                                   cfg.parallel.data_axis)
+            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            try:
+                window_seq = []           # distinct windows, in plan order
+                for w, _, _ in todo:
+                    if not window_seq or window_seq[-1] != w:
+                        window_seq.append(w)
+                futures = {}              # window -> future(buffers)
+                if window_seq:
+                    futures[window_seq[0]] = pool.submit(
+                        corpus_cache.fetch_window, epoch, window_seq[0])
+                cur_w = None
+                for pos, (w, bucket_id, slots) in enumerate(todo):
+                    if w != cur_w:
+                        corpus_cache.set_window(futures.pop(w).result())
+                        cur_w = w
+                        nxt = (window_seq[window_seq.index(w) + 1]
+                               if window_seq.index(w) + 1 < len(window_seq)
+                               else None)
+                        if nxt is not None and nxt not in futures:
+                            # window w+1 assembles + transfers while w trains
+                            futures[nxt] = pool.submit(
+                                corpus_cache.fetch_window, epoch, nxt)
+                    m = timed_step(bucket_id, bucket_id,
+                                   jax.device_put(slots, sh))
+                    if bookkeep(m, bucket_id,
+                                sampler.shapes[bucket_id].batch_size
+                                * k_dispatch):
+                        done = True
+                        break
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+        elif data_mode == "device_cache":
             # steady state sends ONLY the slot-id vector per dispatch;
             # lookahead-1 so its (tiny) transfer overlaps step k's compute
             sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,

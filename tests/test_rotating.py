@@ -1,0 +1,100 @@
+"""RotatingDeviceCache: corpora larger than the HBM budget train from
+fixed-size double-buffered device windows (data/device_cache.py) — every
+row visited ≥ once per epoch, deterministic plans, exact resume."""
+
+import numpy as np
+
+import jax
+
+from chainer_speech_recognition_tpu.data.device_cache import (
+    RotatingDeviceCache)
+from chainer_speech_recognition_tpu.data.packed import PackedBatchLoader
+from chainer_speech_recognition_tpu.data.sampler import BucketSampler
+from chainer_speech_recognition_tpu.parallel.mesh import make_mesh
+from chainer_speech_recognition_tpu.train.loop import train
+
+from test_packed import _packed, _tiny_cfg
+
+
+def _rot(tmp_path, n=48, budget=1):
+    """budget=1 byte forces the maximum window count."""
+    utts, vocab, pc = _packed(tmp_path, n=n)
+    cfg = _tiny_cfg(len(vocab))
+    sampler = BucketSampler(utts, cfg.buckets, seed=0)
+    loader = PackedBatchLoader(pc, cfg.buckets)
+    mesh = make_mesh(cfg.parallel)              # 8 fake devices
+    cache = RotatingDeviceCache(mesh, loader, sampler,
+                                budget_bytes=budget, seed=0)
+    return utts, vocab, pc, cfg, sampler, loader, cache
+
+
+def test_rotating_plan_covers_every_row(tmp_path):
+    utts, vocab, pc, cfg, sampler, loader, cache = _rot(tmp_path)
+    assert cache.n_windows >= 2, "budget should force multiple windows"
+
+    for epoch in (0, 1):
+        plan = cache.epoch_plan(epoch, steps_per_dispatch=1)
+        perms = cache._epoch_perms(epoch)
+        seen: set[int] = set()
+        for w, bid, slots in plan:
+            rows = cache._window_rows(perms, w)[bid]     # [n, R_w]
+            kb = len(slots) // cache.n
+            for d in range(cache.n):
+                seen.update(int(rows[d][s])
+                            for s in slots[d * kb : (d + 1) * kb])
+        want = {int(i) for b in sampler.buckets for i in b}
+        assert seen == want, "every corpus row must be sampled each epoch"
+
+    # deterministic plan per (seed, epoch); different across epochs
+    p0a = cache.epoch_plan(0, 1)
+    p0b = cache.epoch_plan(0, 1)
+    assert len(p0a) == len(p0b)
+    for (wa, ba, sa), (wb, bb, sb) in zip(p0a, p0b):
+        assert wa == wb and ba == bb and np.array_equal(sa, sb)
+
+
+def test_rotating_windows_are_monotone_and_fixed_shape(tmp_path):
+    _, _, _, _, _, loader, cache = _rot(tmp_path)
+    plan = cache.epoch_plan(0, steps_per_dispatch=2)
+    ws = [w for w, _, _ in plan]
+    assert ws == sorted(ws), "plan must group windows contiguously"
+    b0 = cache.fetch_window(0, 0)
+    b1 = cache.fetch_window(0, cache.n_windows - 1)
+    for bid in b0:
+        for k in b0[bid]:
+            assert b0[bid][k].shape == b1[bid][k].shape, (
+                "window buffers must be shape-stable (no recompiles)")
+
+
+def test_train_rotating_mode_and_exact_resume(tmp_path):
+    utts, vocab, pc = _packed(tmp_path, n=48)
+    cfg = _tiny_cfg(len(vocab)).override({
+        "train.data_mode": "rotating", "train.steps_per_dispatch": 2,
+        "train.device_cache_budget_gb": 1e-6,    # force several windows
+        "train.total_steps": 8, "train.checkpoint_every": 4,
+        "train.log_every": 2, "train.eval_every": 1000,
+        "train.checkpoint_dir": str(tmp_path / "ckpt_a")})
+    loader = PackedBatchLoader(pc, cfg.buckets)
+    state_full = train(cfg, utts, vocab, resume=False, loader=loader)
+    assert int(state_full.step) == 8
+
+    cfg_b = cfg.override({"train.total_steps": 4,
+                          "train.checkpoint_dir": str(tmp_path / "ckpt_b")})
+    train(cfg_b, utts, vocab, resume=False, loader=loader)
+    state_res = train(cfg_b.override({"train.total_steps": 8}), utts, vocab,
+                      resume=True, loader=loader)
+    assert int(state_res.step) == 8
+    for a, b in zip(jax.tree.leaves(state_full.params),
+                    jax.tree.leaves(state_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_mode_picks_rotating_when_over_budget(tmp_path):
+    from chainer_speech_recognition_tpu.train.loop import _resolve_data_mode
+
+    utts, vocab, pc = _packed(tmp_path, n=48)
+    cfg = _tiny_cfg(len(vocab))
+    sampler = BucketSampler(utts, cfg.buckets, seed=0)
+    assert _resolve_data_mode(cfg, sampler) == "device_cache"
+    tiny = cfg.override({"train.device_cache_budget_gb": 1e-9})
+    assert _resolve_data_mode(tiny, sampler) == "rotating"
