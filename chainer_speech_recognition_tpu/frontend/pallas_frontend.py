@@ -19,9 +19,12 @@ The DFT is two fp32 matmuls against precomputed windowed-DFT matrices
 fp32 summation order. Differential tests: tests/test_pallas_frontend.py.
 
 This kernel is the DEFAULT front-end on TPU (features.frontend_impl="auto"):
-drain-measured 1.6× faster than the jnp/rfft path end-to-end (23.9 vs
-38.6 ms at B8×48 k samples) with 1.9e-5 max parity error; the jnp path is
-the default off-TPU and the differential oracle partner.
+drain-measured 1.9× faster than the jnp/rfft path inside the train step
+(round 3; round-2 HIGHEST variant was 1.6×). Parity vs the fp32 rfft path:
+5.4e-4 max abs on the final CMVN'd features (the bf16x3 DFT — see
+_dft_tables); the jnp path (2.6e-5 vs golden on TPU, 4e-4 absolute on
+CPU) is the default off-TPU, the tight-parity option, and the
+differential oracle partner.
 """
 
 from __future__ import annotations
@@ -42,7 +45,18 @@ _TTILE = 256                              # frames per grid step
 
 @functools.lru_cache(maxsize=None)
 def _dft_tables():
-    """Windowed DFT matrices [N_FFT, 257] (fp32) + padded mel [257p, MELp]."""
+    """Windowed DFT matrix [N_FFT, 2·384] (re‖im, bin axis lane-padded),
+    pre-split into bf16 hi/lo halves, + padded mel [384, 128] fp32.
+
+    The DFT runs as a manual 3-pass bf16 product (hi·hi + hi·lo + lo·hi):
+    on the MXU, fp32 ``Precision.HIGHEST`` is a 6-pass bf16 decomposition,
+    so the 3-pass form is exactly half the MXU work at ~2⁻²¹ relative
+    error — measured log-mel parity vs the fp32 rfft path stays at the
+    1e-4 level (test tolerance 5e-4). PCM16-quantized signals split into
+    hi+lo EXACTLY (15 mantissa bits ≤ 8+8). The mel projection stays
+    HIGHEST: it is 5× fewer FLOPs and its output feeds a log() where
+    near-silent bins would amplify error.
+    """
     n = C.N_FFT
     t = np.arange(n)[:, None]
     k = np.arange(_NBINS)[None, :]
@@ -51,25 +65,41 @@ def _dft_tables():
     lpad = (n - C.WIN_LENGTH) // 2
     win_full = np.zeros(n)
     win_full[lpad : lpad + C.WIN_LENGTH] = win
-    w_re = (np.cos(ang) * win_full[:, None]).astype(np.float32)
-    w_im = (np.sin(ang) * win_full[:, None]).astype(np.float32)
+    w_re = np.cos(ang) * win_full[:, None]
+    w_im = np.sin(ang) * win_full[:, None]
     # pad the bin axis to a lane multiple; extra bins are zero rows in mel
     nb_pad = -(-_NBINS // 128) * 128                       # 384
-    w_re = np.pad(w_re, ((0, 0), (0, nb_pad - _NBINS)))
-    w_im = np.pad(w_im, ((0, 0), (0, nb_pad - _NBINS)))
+    w = np.zeros((n, 2 * nb_pad), np.float32)
+    w[:, :_NBINS] = w_re
+    w[:, nb_pad : nb_pad + _NBINS] = w_im
     mel = mel_filterbank().T                               # [257, n_mels]
     mel_pad = -(-C.N_MELS // 128) * 128                    # 128
     mel_p = np.zeros((nb_pad, mel_pad), np.float32)
     mel_p[:_NBINS, : C.N_MELS] = mel
-    return w_re, w_im, mel_p
+    return w, mel_p
 
 
-def _kernel(frames_ref, wre_ref, wim_ref, mel_ref, out_ref):
+@functools.lru_cache(maxsize=None)
+def _split_tables():
+    # NumPy (ml_dtypes) host constants — never cache jnp arrays from a
+    # function that can first run inside a jit trace (tracer leak)
+    import ml_dtypes
+
+    w, mel_p = _dft_tables()
+    w_hi = w.astype(ml_dtypes.bfloat16)
+    w_lo = (w - w_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return w_hi, w_lo, mel_p
+
+
+def _kernel(nbins, frames_ref, whi_ref, wlo_ref, mel_ref, out_ref):
     fr = frames_ref[0]                                     # [TTILE, N_FFT]
-    re = jnp.dot(fr, wre_ref[:, :], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(fr, wim_ref[:, :], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+    fr_hi = fr.astype(jnp.bfloat16)
+    fr_lo = (fr - fr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    reim = (dot(fr_hi, whi_ref[:, :]) + dot(fr_hi, wlo_ref[:, :])
+            + dot(fr_lo, whi_ref[:, :]))                   # [TTILE, 2·384]
+    re = reim[:, :nbins]
+    im = reim[:, nbins:]
     power = re * re + im * im                              # [TTILE, 384]
     melspec = jnp.dot(power, mel_ref[:, :],
                       preferred_element_type=jnp.float32,
@@ -80,7 +110,8 @@ def _kernel(frames_ref, wre_ref, wim_ref, mel_ref, out_ref):
 def fused_logmel(frames: jnp.ndarray) -> jnp.ndarray:
     """[B, T, N_FFT] frames (un-windowed) → [B, T, n_mels] log-mel."""
     B, T, _ = frames.shape
-    w_re, w_im, mel_p = _dft_tables()
+    w_hi, w_lo, mel_p = _split_tables()
+    nbins = w_hi.shape[1] // 2
     # tile adapts to short buckets (sublane multiple of 8) so a T=64 bucket
     # doesn't pay for a 256-frame tile
     ttile = min(_TTILE, -(-T // 8) * 8)
@@ -89,19 +120,19 @@ def fused_logmel(frames: jnp.ndarray) -> jnp.ndarray:
         frames = jnp.pad(frames, ((0, 0), (0, t_pad - T), (0, 0)))
     grid = (B, t_pad // ttile)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, nbins),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, ttile, C.N_FFT), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((C.N_FFT, w_re.shape[1]), lambda b, t: (0, 0)),
-            pl.BlockSpec((C.N_FFT, w_im.shape[1]), lambda b, t: (0, 0)),
+            pl.BlockSpec(w_hi.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(w_lo.shape, lambda b, t: (0, 0)),
             pl.BlockSpec(mel_p.shape, lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ttile, mel_p.shape[1]),
                                lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, t_pad, mel_p.shape[1]), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-    )(frames, jnp.asarray(w_re), jnp.asarray(w_im), jnp.asarray(mel_p))
+    )(frames, jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(mel_p))
     return out[:, :T, : C.N_MELS]
 
 
