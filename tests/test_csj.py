@@ -107,3 +107,16 @@ def test_segments_through_pack_and_loader(seg_corpus, tmp_path):
     np.testing.assert_allclose(
         b["signals"][0, : utts[0].num_samples],
         load_signal(utts[0], read_wav), atol=1 / 32768.0)
+
+
+def test_large_vocab_tones_stay_inside_mel_band():
+    """Every synthesizable symbol must live inside the mel filterbank —
+    the round-3 parity-corpus bug (ids >= 53 above MEL_FMAX had zero
+    feature energy, an irreducible ~0.36 CER floor) must not regress."""
+    from chainer_speech_recognition_tpu.data.synthetic import tone_frequency
+
+    for V in (41, 82, 200):
+        freqs = [tone_frequency(k, V) for k in range(1, V)]
+        assert min(freqs) >= C.MEL_FMIN + 100
+        assert max(freqs) <= C.MEL_FMAX * 0.95
+        assert all(b > a for a, b in zip(freqs, freqs[1:]))  # distinct, sorted
