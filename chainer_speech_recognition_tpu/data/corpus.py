@@ -122,14 +122,29 @@ def scan_kaldi_style(root: str) -> list[Utterance]:
                 if len(parts) == 4:
                     segs[parts[0]] = (parts[1], float(parts[2]),
                                       float(parts[3]))
+        rec_len: dict[str, int] = {}    # recording → samples at contract rate
+
+        def rec_samples(rec_id: str) -> int:
+            if rec_id not in rec_len:
+                with wave.open(resolve(wavs[rec_id]), "rb") as w:
+                    rec_len[rec_id] = int(
+                        w.getnframes() * C.SAMPLE_RATE / w.getframerate())
+            return rec_len[rec_id]
+
         for utt_id in sorted(segs.keys() & texts.keys()):
             rec_id, start, end = segs[utt_id]
             if rec_id not in wavs or end <= start:
                 continue
             # offsets/lengths at the CONTRACT rate: read paths resample
-            # to SAMPLE_RATE before slicing (utils/wav.py, load_signal)
+            # to SAMPLE_RATE before slicing (utils/wav.py, load_signal).
+            # Clamp to the actual recording length — a bad segments line
+            # must not overstate num_frames (mis-bucketing / padded-frame
+            # waste, ADVICE r1); fully out-of-range segments are skipped.
+            total = rec_samples(rec_id)
             off = int(round(start * C.SAMPLE_RATE))
-            n = int(round(end * C.SAMPLE_RATE)) - off
+            n = min(int(round(end * C.SAMPLE_RATE)), total) - off
+            if off >= total or n <= 0:
+                continue
             utts.append(Utterance(utt_id, resolve(wavs[rec_id]),
                                   texts[utt_id], n, offset_samples=off))
         return utts

@@ -194,6 +194,11 @@ class RotatingDeviceCache:
             total += per_row * len(idxs)
         if not self.bucket_rows:
             raise ValueError("rotating cache: no non-empty buckets")
+        # make_cached_train_step reads .buckets at call time; the loop
+        # points this at the current window's buffers (set_window) before
+        # its first dispatch. Instance state — two live caches must not
+        # share a window (ADVICE r1).
+        self.buckets: dict[int, dict] = {}
         self.n_windows = max(1, -(-total // max(int(budget_bytes) // 2, 1)))
         # fixed per-device rows per window, per bucket (ceil split)
         self.rows_per_window: dict[int, int] = {}
@@ -304,10 +309,6 @@ class RotatingDeviceCache:
                     host["label_lengths"], self.sharding),
             }
         return buffers
-
-    # make_cached_train_step reads .buckets at call time; the loop points
-    # this at the current window's buffers before its first dispatch
-    buckets: dict[int, dict] = {}
 
     def set_window(self, buffers: dict[int, dict]) -> None:
         self.buckets = buffers

@@ -26,15 +26,16 @@ import unicodedata
 # tags whose CONTENT is removed along with the tag itself
 _DROP_CONTENT = {"F", "D", "D2", "L", "笑", "泣", "咳"}
 
-_TAG_OPEN = re.compile(r"\(([A-Za-z0-9?笑泣咳]{0,3})\s*")
+# a drop-tag word glued to its content with no separating space, e.g.
+# "(D2それ)" or the bare "(笑)" — matched inside the bare-parenthetical
+# branch of _strip_tags so annotation characters never leak into labels
+_GLUED_DROP_TAG = re.compile(r"(?:F|D2|D|L|笑|泣|咳)(?![A-Za-z0-9])")
+
 _ANGLE = re.compile(r"<[^<>]*>")
 
-# punctuation & separators (ASCII + CJK variants) removed after tag handling
-_PUNCT = re.compile(
-    r"[\s　。、，．,.!?！？・「」『』（）()\[\]｛｝{}〈〉《》：；:;\"'´`~＿—ー?-]"
-)
-# NOTE: the long-vowel mark ー is NOT punctuation in kana text — it is kept;
-# the class above strips the fullwidth dash lookalikes only. Built carefully:
+# punctuation & separators (ASCII + CJK variants) removed after tag
+# handling. The kana long-vowel mark ー is NOT punctuation — it must
+# survive; only the fullwidth dash lookalikes (—) are stripped.
 _PUNCT = re.compile(
     r"[\s　。、，．,.!！?？・「」『』（）()\[\]｛｝{}〈〉《》：；:;\"'＿—…‥→↑↓←]"
 )
@@ -54,7 +55,9 @@ def _strip_tags(text: str) -> str:
         if m is None:
             return text
         if m.group(3) is not None:        # bare parenthetical, no tag word
-            repl = m.group(3)
+            # drop-tags glued to content without a space — "(笑)",
+            # "(D2それ)" — still drop everything (ADVICE r1)
+            repl = "" if _GLUED_DROP_TAG.match(m.group(3)) else m.group(3)
         else:
             tag, content = m.group(1), m.group(2)
             if tag in _DROP_CONTENT:

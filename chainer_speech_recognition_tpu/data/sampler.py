@@ -138,8 +138,17 @@ class BatchLoader:
         signals = np.zeros((B, shape.max_samples), np.float32)
         num_samples = np.zeros(B, np.int32)
         cached_read = RecordingCache(self.read_fn)
-        for i, u_idx in enumerate(idxs):
-            u = self.utts[int(u_idx)]
+        # visit rows grouped by recording (output order unchanged): shuffled
+        # batches over a segments corpus interleave many lecture recordings,
+        # and without grouping nearly every row would re-decode its full
+        # multi-minute recording through the 2-slot cache (ADVICE r1). The
+        # packed corpus (data/packed.py) remains the intended path for
+        # segment corpora at scale; this keeps the fallback off the cliff.
+        by_rec = sorted(range(B),
+                        key=lambda i: (self.utts[int(idxs[i])].wav,
+                                       self.utts[int(idxs[i])].offset_samples))
+        for i in by_rec:
+            u = self.utts[int(idxs[i])]
             sig = load_signal(u, cached_read)
             n = min(len(sig), shape.max_samples)
             signals[i, :n] = sig[:n]

@@ -139,8 +139,7 @@ class NGramLM:
         with open(path, "w", encoding="utf-8") as f:
             f.write("\\data\\\n")
             for n in range(self.order):
-                cnt = sum(len(p) for p in [self.logp[n]]) and sum(
-                    len(v) for v in self.logp[n].values())
+                cnt = sum(len(probs) for probs in self.logp[n].values())
                 f.write(f"ngram {n+1}={cnt}\n")
             for n in range(self.order):
                 f.write(f"\n\\{n+1}-grams:\n")

@@ -22,6 +22,7 @@ from ..data.device_cache import (DeviceCorpusCache, RotatingDeviceCache,
 from ..data.sampler import BatchLoader, BucketSampler, Prefetcher
 from ..decode.greedy import greedy_decode
 from ..decode.metrics import CERAccumulator
+from ..ops.ctc_jax import LOG_ZERO
 from ..models.presets import build_model
 from ..parallel.mesh import dispatch_sharding, make_mesh, shard_batch
 from ..vocab import Vocab
@@ -54,7 +55,9 @@ def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
         losses = np.asarray(losses)[:n_valid]
         for i in range(n_valid):
             acc.add(vocab.decode(hyps[i]), utts[int(idxs[i])].text)
-        fin = np.isfinite(losses) & (losses < 1e29)
+        # impossible CTC samples carry the -LOG_ZERO sentinel loss — drop
+        # them from the mean exactly as train/step.py's valid mask does
+        fin = np.isfinite(losses) & (losses < -LOG_ZERO / 2)
         total_loss += float(losses[fin].sum())
         n += int(fin.sum())
     return acc, total_loss / max(n, 1)

@@ -34,6 +34,16 @@ def test_normalize_uncertain_keeps_content():
     assert normalize("(? きょう)は") == "きょうは"
 
 
+def test_normalize_glued_drop_tags():
+    """Tags written without a following space — ``(笑)``, ``(D2それ)`` —
+    must drop like their spaced forms, not leak content (ADVICE r1)."""
+    assert normalize("これは(笑)です") == "これはです"
+    assert normalize("(D2それ)きょう") == "きょう"
+    assert normalize("(Fあの)続き") == "続き"
+    # a bare parenthetical that is NOT a tag keeps its content
+    assert normalize("(あの)続き") == "あの続き"
+
+
 def test_normalize_punct_and_nfkc():
     # fullwidth digits/latin fold to ASCII; punctuation and spaces vanish
     assert normalize("ＡＢ１、 こんにちは！") == "AB1こんにちは"
@@ -63,22 +73,30 @@ def seg_corpus(tmp_path):
     (tmp_path / "segments").write_text(
         "rec1_001 rec1 0.50 1.50\n"
         "rec1_002 rec1 2.00 3.75\n"
-        "rec1_999 missing 0.0 1.0\n",      # unknown recording: skipped
+        "rec1_999 missing 0.0 1.0\n"       # unknown recording: skipped
+        "rec1_003 rec1 3.50 9.00\n"        # end past recording: clamped
+        "rec1_004 rec1 5.00 6.00\n",       # fully out of range: skipped
         encoding="utf-8")
     (tmp_path / "text").write_text(
         "rec1_001 (F えー)こんにちは。\n"
-        "rec1_002 さようなら\n", encoding="utf-8")
+        "rec1_002 さようなら\n"
+        "rec1_003 おわり\n"
+        "rec1_004 ない\n", encoding="utf-8")
     return tmp_path, sig
 
 
 def test_scan_segments(seg_corpus):
     root, sig = seg_corpus
     utts = scan_kaldi_style(str(root))
-    assert [u.utt_id for u in utts] == ["rec1_001", "rec1_002"]
-    u1, u2 = utts
+    assert [u.utt_id for u in utts] == ["rec1_001", "rec1_002", "rec1_003"]
+    u1, u2, u3 = utts
     assert u1.offset_samples == C.SAMPLE_RATE // 2
     assert u1.num_samples == C.SAMPLE_RATE
     assert u2.num_samples == int(1.75 * C.SAMPLE_RATE)
+    # rec1_003's end (9.0 s) is clamped to the 4.0 s recording (ADVICE r1):
+    # num_samples must reflect the REAL slice so bucketing is correct
+    assert u3.num_samples == int(0.5 * C.SAMPLE_RATE)
+    assert len(load_signal(u3, read_wav)) == u3.num_samples
     # load_signal slices the recording exactly
     s1 = load_signal(u1, read_wav)
     np.testing.assert_allclose(
