@@ -41,6 +41,7 @@ from .golden_np import hann_periodic, mel_filterbank
 
 _NBINS = 1 + C.N_FFT // 2                 # 257
 _TTILE = 256                              # frames per grid step
+_K = C.N_FFT // C.HOP_LENGTH              # full hop rows per frame (3)
 
 
 @functools.lru_cache(maxsize=None)
@@ -91,8 +92,8 @@ def _split_tables():
     return w_hi, w_lo, mel_p
 
 
-def _kernel(nbins, frames_ref, whi_ref, wlo_ref, mel_ref, out_ref):
-    fr = frames_ref[0]                                     # [TTILE, N_FFT]
+def _dft_mel_log(fr, nbins, whi_ref, wlo_ref, mel_ref):
+    """[TTILE, N_FFT] frames → [TTILE, mel_pad] log-mel (VMEM math)."""
     fr_hi = fr.astype(jnp.bfloat16)
     fr_lo = (fr - fr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -104,7 +105,35 @@ def _kernel(nbins, frames_ref, whi_ref, wlo_ref, mel_ref, out_ref):
     melspec = jnp.dot(power, mel_ref[:, :],
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = jnp.log(jnp.maximum(melspec, C.LOG_EPS))
+    return jnp.log(jnp.maximum(melspec, C.LOG_EPS))
+
+
+def _kernel(nbins, frames_ref, whi_ref, wlo_ref, mel_ref, out_ref):
+    out_ref[0] = _dft_mel_log(frames_ref[0], nbins,
+                              whi_ref, wlo_ref, mel_ref)
+
+
+def _kernel_rows(nbins, ttile, cur_ref, nxt_ref, whi_ref, wlo_ref, mel_ref,
+                 out_ref):
+    """Framing fused in-kernel: build the [TTILE, N_FFT] frame block from
+    hop-rows in VMEM (frame t = rows t..t+3 → 160+160+160+32 samples), so
+    the [B, T, N_FFT] frames tensor — a 3.2×-inflated copy of the signal,
+    ~270 MB of HBM round-trip per B64×1024 batch — never exists. The halo
+    (rows beyond this tile) comes from a second view of the same array
+    shifted one block (+8 rows used)."""
+    rows = jnp.concatenate([cur_ref[0], nxt_ref[0, :8]], axis=0)
+    # sublane-shifted slices carry offset layouts Mosaic cannot lane-concat
+    # ("offset mismatch on non-concat dimension") — rotate to offset 0 first
+    rem = C.N_FFT - _K * C.HOP_LENGTH                      # 32
+    from jax.experimental.pallas import tpu as pltpu
+    n_rows = ttile + 8
+    parts = []
+    for s in range(_K):                                    # 3×[TTILE, 160]
+        shifted = rows if s == 0 else pltpu.roll(rows, n_rows - s, 0)
+        parts.append(shifted[:ttile])
+    parts.append(pltpu.roll(rows, n_rows - _K, 0)[:ttile, :rem])
+    fr = jnp.concatenate(parts, axis=1)                    # [TTILE, N_FFT]
+    out_ref[0] = _dft_mel_log(fr, nbins, whi_ref, wlo_ref, mel_ref)
 
 
 def fused_logmel(frames: jnp.ndarray) -> jnp.ndarray:
@@ -136,17 +165,50 @@ def fused_logmel(frames: jnp.ndarray) -> jnp.ndarray:
     return out[:, :T, : C.N_MELS]
 
 
+def fused_logmel_rows(ext: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Extended signal [B, rows·HOP] → [B, T, n_mels] log-mel with framing
+    fused into the kernel (no frames tensor in HBM)."""
+    B = ext.shape[0]
+    w_hi, w_lo, mel_p = _split_tables()
+    nbins = w_hi.shape[1] // 2
+    ttile = min(_TTILE, -(-T // 8) * 8)
+    n_tiles = -(-T // ttile)
+    # rows padded so the +1-block halo view exists for the last tile
+    rows_needed = (n_tiles + 1) * ttile
+    rows = ext.shape[1] // C.HOP_LENGTH
+    A = ext.reshape(B, rows, C.HOP_LENGTH)
+    if rows < rows_needed:
+        A = jnp.pad(A, ((0, 0), (0, rows_needed - rows), (0, 0)))
+    grid = (B, n_tiles)
+    out = pl.pallas_call(
+        functools.partial(_kernel_rows, nbins, ttile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ttile, C.HOP_LENGTH), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, ttile, C.HOP_LENGTH), lambda b, t: (b, t + 1, 0)),
+            pl.BlockSpec(w_hi.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(w_lo.shape, lambda b, t: (0, 0)),
+            pl.BlockSpec(mel_p.shape, lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ttile, mel_p.shape[1]),
+                               lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * ttile, mel_p.shape[1]),
+                                       jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(A, A, jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(mel_p))
+    return out[:, :T, : C.N_MELS]
+
+
 @functools.partial(jax.jit, static_argnames=("apply_cmvn",))
 def batch_features_pallas(signals, num_samples, apply_cmvn: bool = True):
     """Drop-in for jnp_frontend.batch_features using the fused kernel."""
-    from .jnp_frontend import _K, _delta, extend_signal, frame_lengths, frame_signal
+    from .jnp_frontend import _K, _delta, extend_signal, frame_lengths
 
     B, n_max = signals.shape
     t_max = C.num_frames(n_max)
     lengths = num_samples.astype(jnp.int32)
     ext = extend_signal(signals, lengths, t_max + _K + 1)
-    frames = frame_signal(ext, t_max)                      # no window here
-    logmel = fused_logmel(frames)                          # [B, T, n_mels]
+    logmel = fused_logmel_rows(ext, t_max)                 # [B, T, n_mels]
 
     flens = frame_lengths(lengths)
     tmask = (jnp.arange(t_max)[None, :] < flens[:, None])
