@@ -5,6 +5,7 @@ and reproduce the same step k+1 as an uninterrupted run."""
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,7 @@ def test_save_restore_bitwise(tmp_path):
     assert load_config(cfg.train.checkpoint_dir) == cfg
 
 
+@pytest.mark.slow
 def test_resume_reproduces_next_step(tmp_path):
     cfg, model, state, batch = _setup(tmp_path)
     mesh = make_mesh(cfg.parallel)

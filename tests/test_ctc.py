@@ -115,6 +115,7 @@ def test_optax_cross_check():
     np.testing.assert_allclose(ours, theirs, atol=5e-2, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fuzz_shapes_vs_optax_and_pallas():
     """Randomized shape/length fuzz: jnp scan vs optax vs Pallas (interpret)
     across 8 configurations — loss agreement at fp32 tolerances."""

@@ -6,6 +6,7 @@ same features, golden-vs-jnp parity)."""
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def _make_corpus(root, n=16):
             f.write("".join(kana[k - 1] for k in ids))
 
 
+@pytest.mark.slow
 def test_cached_features_end_to_end(tmp_path):
     corpus, out = str(tmp_path / "c"), str(tmp_path / "prep")
     _make_corpus(corpus)

@@ -30,7 +30,9 @@ def test_conv_out_length():
 
 
 @pytest.mark.parametrize("name,subsample", [
-    ("tiny_conv", 4), ("bigru", 4), ("bilstm_deep", 4), ("glu_conv", 4)])
+    ("tiny_conv", 4), ("bigru", 4),
+    pytest.param("bilstm_deep", 4, marks=pytest.mark.slow),
+    pytest.param("glu_conv", 4, marks=pytest.mark.slow)])
 def test_preset_shapes(name, subsample):
     model = _model(name)
     B, T, F = 2, 37, 40
@@ -45,8 +47,10 @@ def test_preset_shapes(name, subsample):
     assert model.subsample_factor() == subsample
 
 
-@pytest.mark.parametrize("name", ["tiny_conv", "bigru", "bilstm_deep",
-                                  "glu_conv"])
+@pytest.mark.parametrize("name", [
+    "tiny_conv", "bigru",
+    pytest.param("bilstm_deep", marks=pytest.mark.slow),
+    pytest.param("glu_conv", marks=pytest.mark.slow)])
 def test_padding_invariance(name):
     """Valid-frame logits must not depend on batch padding length."""
     model = _model(name)

@@ -7,17 +7,20 @@ mode exercises that exact composition on the fake mesh)."""
 import sys
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)   # raises on any sharding error
 
 
+@pytest.mark.slow
 def test_pallas_stack_under_mesh_matches_reference_stack():
     """frontend/rnn/ctc = pallas inside the 8-device shard_map train step
     must reproduce the jnp/scan stack's loss and parameter update."""

@@ -57,6 +57,7 @@ def test_pallas_birnn_grad_matches_scan(cell):
 
 
 @pytest.mark.parametrize("cell", ["gru", "lstm"])
+@pytest.mark.slow
 def test_pallas_birnn_bf16_streams_close_to_scan(cell):
     """Under bf16 compute the kernel streams xs/gates/dxs as bf16 (half
     the HBM traffic); values+grads must stay within bf16 noise of the

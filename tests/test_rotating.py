@@ -3,6 +3,7 @@ fixed-size double-buffered device windows (data/device_cache.py) — every
 row visited ≥ once per epoch, deterministic plans, exact resume."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -28,6 +29,7 @@ def _rot(tmp_path, n=48, budget=1):
     return utts, vocab, pc, cfg, sampler, loader, cache
 
 
+@pytest.mark.slow
 def test_rotating_plan_covers_every_row(tmp_path):
     utts, vocab, pc, cfg, sampler, loader, cache = _rot(tmp_path)
     assert cache.n_windows >= 2, "budget should force multiple windows"
@@ -53,6 +55,7 @@ def test_rotating_plan_covers_every_row(tmp_path):
         assert wa == wb and ba == bb and np.array_equal(sa, sb)
 
 
+@pytest.mark.slow
 def test_rotating_windows_are_monotone_and_fixed_shape(tmp_path):
     _, _, _, _, _, loader, cache = _rot(tmp_path)
     plan = cache.epoch_plan(0, steps_per_dispatch=2)
@@ -66,6 +69,7 @@ def test_rotating_windows_are_monotone_and_fixed_shape(tmp_path):
                 "window buffers must be shape-stable (no recompiles)")
 
 
+@pytest.mark.slow
 def test_train_rotating_mode_and_exact_resume(tmp_path):
     utts, vocab, pc = _packed(tmp_path, n=48)
     cfg = _tiny_cfg(len(vocab)).override({

@@ -8,6 +8,7 @@
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,7 @@ def _init(cfg, batch):
     return model, state
 
 
+@pytest.mark.slow
 def test_toy_training_learns():
     cfg = _cfg()
     rng = np.random.default_rng(0)
@@ -77,6 +79,7 @@ def test_toy_training_learns():
     assert exact >= 12, f"greedy recovered only {exact}/16"
 
 
+@pytest.mark.slow
 def test_dp_equals_single_device():
     """shard_map+pmean over 8 devices == 1-device step on the same batch."""
     cfg = _cfg()
@@ -100,6 +103,7 @@ def test_dp_equals_single_device():
         np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_remainder_rows_are_masked():
     """sample_weight=0 rows (padded bucket remainders) must contribute
     exactly nothing: loss and updates invariant to their content."""
