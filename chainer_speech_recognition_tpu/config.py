@@ -129,6 +129,17 @@ class TrainConfig:
                                 # [B] indices per step; auto picks it when
                                 # the corpus fits device_cache_budget_gb
     device_cache_budget_gb: float = 4.0
+    cache_features: bool = True  # device_cache mode: run the front-end
+                                # ONCE at cache build and keep bf16
+                                # features in HBM (245 KB/1024-frame utt —
+                                # smaller than int16 PCM) instead of
+                                # recomputing ~4 ms of front-end every
+                                # step; the reference's precomputed
+                                # feature cache (SURVEY.md §2.1), HBM-
+                                # resident. False = cache raw PCM.
+    cache_dtype: str = "bfloat16"   # feature-cache storage dtype; the
+                                # first conv matmul is bf16 anyway under
+                                # the production compute dtype
     steps_per_dispatch: int = 8  # device_cache mode: K steps per host
                                 # dispatch (lax.scan inside the jit) —
                                 # amortizes per-dispatch host latency;

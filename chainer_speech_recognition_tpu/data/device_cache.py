@@ -26,10 +26,44 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .buckets import bucket_shapes
 from .sampler import BucketSampler
+
+
+def _build_features(mesh, axis, sig_dev, num_dev, features_cfg,
+                    cache_dtype, chunk):
+    """Run the configured front-end once over a bucket's device-resident
+    PCM, sharded rows staying local; ``lax.map`` over row chunks bounds
+    the transient (ext-signal + fp32-feature) memory to ``chunk`` rows per
+    device. Returns (features [n*R, T, M, 3] cache_dtype, frame_lengths)."""
+    from jax import shard_map
+    from ..frontend import select_frontend
+
+    frontend = select_frontend(features_cfg)
+    cdt = jnp.dtype(cache_dtype)
+    apply_cmvn = features_cfg.cmvn
+
+    def local(sig, num):                       # [R, S] int16, [R] int32
+        R = sig.shape[0]
+        nc = R // chunk
+
+        def one(args):
+            s, n = args
+            f, fl = frontend(s.astype(jnp.float32) / 32768.0, n,
+                             apply_cmvn=apply_cmvn)
+            return f.astype(cdt), fl
+        f, fl = jax.lax.map(
+            one, (sig.reshape(nc, chunk, -1), num.reshape(nc, chunk)))
+        return f.reshape((R,) + f.shape[2:]), fl.reshape(-1)
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(axis), P(axis)),
+                           out_specs=(P(axis), P(axis)),
+                           check_vma=False))
+    return fn(sig_dev, num_dev)
 
 
 def estimate_bytes(sampler: BucketSampler) -> int:
@@ -45,19 +79,31 @@ def estimate_bytes(sampler: BucketSampler) -> int:
 class DeviceCorpusCache:
     """Per-bucket device-resident padded corpus, rows sharded over the mesh.
 
-    ``buckets[bid]`` is a dict of jax Arrays sharded ``P(axis)`` on rows:
+    ``buckets[bid]`` is a dict of jax Arrays sharded ``P(axis)`` on rows.
+    PCM mode (``features_cfg=None``):
       signals_i16   [n*R, S_b]   int16
       num_samples   [n*R]        int32
       labels        [n*R, L]     int32
       label_lengths [n*R]        int32
-    where R = rows per device (padded to equal length by repeating a real
-    row — padded slots are never sampled). ``epoch_batches`` emits
-    device-LOCAL slot ids: segment d of each [B] index vector addresses
-    device d's own shard, so the in-step gather is local (no collectives).
+    Feature mode (``features_cfg`` = FeatureConfig): the front-end runs
+    ONCE at build time (on device, chunked ``lax.map`` under ``shard_map``
+    so transient memory stays bounded) and the cache stores
+      features       [n*R, T_b, n_mels, 3]  cache_dtype (bf16 default)
+      frame_lengths  [n*R] int32  (+ labels/label_lengths)
+    — the reference's precomputed feature cache (SURVEY.md §2.1) made
+    HBM-resident: every training step then skips the ~4 ms front-end
+    recompute, and bf16 features are SMALLER than int16 PCM (1024-frame
+    utt: 245 KB vs 327 KB). R is padded to a chunk multiple (padded slots
+    are never sampled). ``epoch_batches`` emits device-LOCAL slot ids:
+    segment d of each [B] index vector addresses device d's own shard, so
+    the in-step gather is local (no collectives).
     """
 
+    FE_CHUNK = 32          # rows per device per front-end build step
+
     def __init__(self, mesh: Mesh, loader, sampler: BucketSampler,
-                 axis: str = "data", seed: int = 0):
+                 axis: str = "data", seed: int = 0,
+                 features_cfg=None, cache_dtype: str = "bfloat16"):
         self.n = mesh.devices.size
         self.axis = axis
         self.seed = seed
@@ -66,11 +112,12 @@ class DeviceCorpusCache:
         self.buckets: dict[int, dict] = {}
         self.real_counts: dict[int, np.ndarray] = {}   # [n] per device
         self.utt_map: dict[int, np.ndarray] = {}       # [n, R] -> corpus idx
+        chunk = self.FE_CHUNK if features_cfg is not None else 1
         for bid, idxs in enumerate(sampler.buckets):
             if len(idxs) == 0:
                 continue
             local = [idxs[d :: self.n] for d in range(self.n)]
-            R = max(len(l) for l in local)
+            R = -(-max(len(l) for l in local) // chunk) * chunk
             counts = np.asarray([len(l) for l in local], np.int32)
             padded = np.stack([
                 np.concatenate([l, np.full(R - len(l), idxs[0],
@@ -81,14 +128,26 @@ class DeviceCorpusCache:
             if sig is None:                             # float loader: re-
                 sig = np.clip(host["signals"] * 32768.0,  # quantize (source
                               -32768, 32767).astype(np.int16)  # was PCM16)
-            self.buckets[bid] = {
-                "signals_i16": jax.device_put(sig, sharding),
-                "num_samples": jax.device_put(
-                    host["num_samples"].astype(np.int32), sharding),
-                "labels": jax.device_put(host["labels"], sharding),
-                "label_lengths": jax.device_put(
-                    host["label_lengths"], sharding),
-            }
+            num = host["num_samples"].astype(np.int32)
+            if features_cfg is not None:
+                feats, flens = _build_features(
+                    mesh, axis, jax.device_put(sig, sharding),
+                    jax.device_put(num, sharding),
+                    features_cfg, cache_dtype, chunk)
+                self.buckets[bid] = {
+                    "features": feats, "frame_lengths": flens,
+                    "labels": jax.device_put(host["labels"], sharding),
+                    "label_lengths": jax.device_put(
+                        host["label_lengths"], sharding),
+                }
+            else:
+                self.buckets[bid] = {
+                    "signals_i16": jax.device_put(sig, sharding),
+                    "num_samples": jax.device_put(num, sharding),
+                    "labels": jax.device_put(host["labels"], sharding),
+                    "label_lengths": jax.device_put(
+                        host["label_lengths"], sharding),
+                }
             self.real_counts[bid] = counts
             self.utt_map[bid] = padded
 

@@ -145,14 +145,17 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
     elif data_mode == "device_cache":
         t_c = time.perf_counter()
         k_dispatch = max(1, cfg.train.steps_per_dispatch)
-        corpus_cache = DeviceCorpusCache(mesh, loader, sampler,
-                                         axis=cfg.parallel.data_axis,
-                                         seed=cfg.train.seed)
+        corpus_cache = DeviceCorpusCache(
+            mesh, loader, sampler, axis=cfg.parallel.data_axis,
+            seed=cfg.train.seed,
+            features_cfg=(cfg.features if cfg.train.cache_features else None),
+            cache_dtype=cfg.train.cache_dtype)
         train_step = make_cached_train_step(model, cfg, mesh, corpus_cache,
                                             steps_per_dispatch=k_dispatch)
         epoch_batches = (lambda e: corpus_cache.epoch_dispatches(e, k_dispatch))
         log.log("data_mode", mode=data_mode,
                 steps_per_dispatch=k_dispatch,
+                cache_features=cfg.train.cache_features,
                 cache_bytes=estimate_bytes(sampler),
                 build_seconds=round(time.perf_counter() - t_c, 2))
     else:

@@ -132,6 +132,55 @@ def test_device_cache_step_matches_stream_step(tmp_path):
 
 
 @pytest.mark.slow
+def test_feature_cache_mode_matches_recompute(tmp_path):
+    """cache_features=True: the HBM cache holds front-end OUTPUT (bf16) —
+    cached rows must equal batch_features on the same utterances (to bf16
+    rounding), and a cached train step must track the recompute step."""
+    utts, vocab, pc = _packed(tmp_path, n=48)
+    cfg = _tiny_cfg(len(vocab))
+    sampler = BucketSampler(utts, cfg.buckets, seed=0)
+    loader = PackedBatchLoader(pc, cfg.buckets)
+    mesh = make_mesh(cfg.parallel)              # 8 fake devices
+    cache = DeviceCorpusCache(mesh, loader, sampler, seed=0,
+                              features_cfg=cfg.features,
+                              cache_dtype="bfloat16")
+    bid, slots = cache.epoch_batches(0)[0]
+    assert "features" in cache.buckets[bid]
+    assert cache.buckets[bid]["features"].dtype == jnp.bfloat16
+
+    # feature parity vs direct recompute on the same rows
+    rows = cache.utterance_indices(bid, slots)
+    host = loader.load(bid, rows)
+    ref_f, ref_l = batch_features(
+        jnp.asarray(host["signals_i16"].astype(np.float32) / 32768.0),
+        jnp.asarray(host["num_samples"]))
+    n = mesh.devices.size
+    k = len(slots) // n
+    R = cache.utt_map[bid].shape[1]
+    flat = np.concatenate([slots[d * k:(d + 1) * k] + d * R
+                           for d in range(n)])
+    got_f = np.asarray(cache.buckets[bid]["features"])[flat]
+    got_l = np.asarray(cache.buckets[bid]["frame_lengths"])[flat]
+    np.testing.assert_array_equal(got_l, np.asarray(ref_l))
+    np.testing.assert_allclose(got_f.astype(np.float32), np.asarray(ref_f),
+                               atol=0.04, rtol=0.02)   # bf16 rounding
+
+    # cached train step ~= stream (recompute) step
+    model = build_model(cfg.model)
+    state = init_state(model, cfg.optim, jax.random.key(0),
+                       ref_f[:1], ref_l[:1])
+    state2 = jax.tree.map(jnp.copy, state)
+    cached_step = make_cached_train_step(model, cfg, mesh, cache)
+    stream_step = make_train_step(model, cfg, mesh)
+    s_c, m_c = cached_step(
+        state, bid, jax.device_put(slots, batch_sharding(mesh)))
+    s_s, m_s = stream_step(
+        state2, shard_batch(mesh, {kk: v for kk, v in host.items()
+                                   if kk != "bucket_id"}))
+    assert abs(float(m_c["loss"]) - float(m_s["loss"])) < 0.05
+
+
+@pytest.mark.slow
 def test_train_device_cache_mode_and_exact_resume(tmp_path):
     utts, vocab, pc = _packed(tmp_path, n=48)
     cfg = _tiny_cfg(len(vocab)).override({
