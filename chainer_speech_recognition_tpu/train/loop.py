@@ -134,7 +134,9 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         corpus_cache = RotatingDeviceCache(
             mesh, loader, sampler,
             budget_bytes=int(cfg.train.device_cache_budget_gb * 1e9),
-            axis=cfg.parallel.data_axis, seed=cfg.train.seed)
+            axis=cfg.parallel.data_axis, seed=cfg.train.seed,
+            features_cfg=(cfg.features if cfg.train.cache_features else None),
+            cache_dtype=cfg.train.cache_dtype)
         train_step = make_cached_train_step(model, cfg, mesh, corpus_cache,
                                             steps_per_dispatch=k_dispatch)
         epoch_batches = (lambda e: corpus_cache.epoch_plan(e, k_dispatch))

@@ -29,6 +29,26 @@ def _rot(tmp_path, n=48, budget=1):
     return utts, vocab, pc, cfg, sampler, loader, cache
 
 
+def test_rotating_feature_windows(tmp_path):
+    """features_cfg set: fetched windows hold bf16 front-end output (the
+    train.cache_features default path), not PCM."""
+    import jax.numpy as jnp
+
+    utts, vocab, pc = _packed(tmp_path, n=24)
+    cfg = _tiny_cfg(len(vocab))
+    sampler = BucketSampler(utts, cfg.buckets, seed=0)
+    loader = PackedBatchLoader(pc, cfg.buckets)
+    mesh = make_mesh(cfg.parallel)
+    cache = RotatingDeviceCache(mesh, loader, sampler, budget_bytes=1,
+                                seed=0, features_cfg=cfg.features)
+    buffers = cache.fetch_window(0, 0)
+    bid, buf = next(iter(buffers.items()))
+    assert "features" in buf and "signals_i16" not in buf
+    assert buf["features"].dtype == jnp.bfloat16
+    assert buf["features"].shape[0] % mesh.devices.size == 0
+    assert (np.asarray(buf["frame_lengths"]) > 0).all()
+
+
 @pytest.mark.slow
 def test_rotating_plan_covers_every_row(tmp_path):
     utts, vocab, pc, cfg, sampler, loader, cache = _rot(tmp_path)
