@@ -18,7 +18,7 @@ from ..data.sampler import BatchLoader, BucketSampler
 from ..models.presets import build_model
 from ..train.checkpoint import latest_checkpoint, load_config, restore_checkpoint
 from ..parallel.mesh import make_mesh, shard_batch
-from ..train.loop import evaluate
+from ..train.loop import evaluate, evaluate_multi
 from ..train.state import init_state
 from ..train.step import make_eval_step, make_sharded_eval_step
 from ..vocab import Vocab
@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--lm", default=None, help="ARPA LM for shallow fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=1.0)
+    p.add_argument("--compare", action="store_true",
+                   help="score greedy, beam-K and beam-K+LM from ONE "
+                        "forward pass and print the three-way CER table "
+                        "(the config-4 comparison; requires --beam, LM "
+                        "row needs --lm)")
     args = p.parse_args(argv)
 
     cfg, model, state, path = load_model_and_params(args.ckpt_dir)
@@ -78,6 +83,7 @@ def main(argv=None):
             return eval_step(state.params, b)
 
     decode_fn = None
+    lm_dense = None
     if args.beam > 0:
         from ..decode.beam import beam_decode
         from ..decode.lm import NGramLM
@@ -91,6 +97,27 @@ def main(argv=None):
     if sampler.num_dropped:
         print(f"warning: {sampler.num_dropped}/{len(utts)} utterances exceed "
               "the bucket boundaries / max_label_len and are NOT scored")
+
+    if args.compare:
+        if args.beam <= 0:
+            raise SystemExit("--compare requires --beam K")
+        from ..decode.beam import beam_decode
+        decoders = {
+            "greedy": None,
+            f"beam{args.beam}": (lambda lg, ol: beam_decode(
+                lg, ol, beam=args.beam)),
+        }
+        if lm_dense is not None:
+            decoders[f"beam{args.beam}+lm"] = decode_fn
+        accs, loss = evaluate_multi(eval_fn, loader, sampler.eval_batches(),
+                                    vocab, utts, decoders)
+        print(f"checkpoint {path}")
+        for name, acc in accs.items():
+            print(f"CER[{name}] {acc.cer:.4f} | {acc.num_utts} utts "
+                  f"| {acc.edits} edits / {acc.ref_len} ref chars")
+        print(f"loss {loss:.4f}")
+        return
+
     acc, loss = evaluate(eval_fn, loader, sampler.eval_batches(), vocab,
                          utts, decode_fn=decode_fn)
     print(f"checkpoint {path}")

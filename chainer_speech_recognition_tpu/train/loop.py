@@ -33,6 +33,42 @@ from .step import (make_cached_train_step, make_eval_step,
                    make_sharded_eval_step, make_train_step)
 
 
+def _greedy_fn(logits, olens):
+    ids, out_lens = greedy_decode(logits, olens)
+    ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+    return [list(ids[i, : out_lens[i]]) for i in range(ids.shape[0])]
+
+
+def evaluate_multi(eval_step, loader: BatchLoader, batches, vocab: Vocab,
+                   utts, decoders: dict):
+    """One forward pass per batch, scored by SEVERAL decoders at once
+    (e.g. {"greedy": None, "beam8": fn, "beam8+lm": fn}) — the standard
+    config-4 comparison without re-running the acoustic model per decoder.
+
+    decoder value None = on-device greedy. Returns
+    ({name: CERAccumulator}, mean_loss).
+    """
+    accs = {name: CERAccumulator() for name in decoders}
+    total_loss, n = 0.0, 0
+    for entry in batches:
+        bid, idxs = entry[0], entry[1]
+        n_valid = entry[2] if len(entry) > 2 else len(idxs)
+        batch = loader.load(bid, idxs)
+        losses, logits, olens = eval_step(batch)
+        for name, fn in decoders.items():
+            hyps = (_greedy_fn if fn is None else fn)(logits, olens)
+            for i in range(n_valid):
+                accs[name].add(vocab.decode(hyps[i]),
+                               utts[int(idxs[i])].text)
+        losses = np.asarray(losses)[:n_valid]
+        # impossible CTC samples carry the -LOG_ZERO sentinel loss — drop
+        # them from the mean exactly as train/step.py's valid mask does
+        fin = np.isfinite(losses) & (losses < -LOG_ZERO / 2)
+        total_loss += float(losses[fin].sum())
+        n += int(fin.sum())
+    return accs, total_loss / max(n, 1)
+
+
 def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
              decode_fn=None):
     """Dev-set decode → corpus CER + mean loss (SURVEY.md §3.4).
@@ -40,28 +76,9 @@ def evaluate(eval_step, loader: BatchLoader, batches, vocab: Vocab, utts,
     decode_fn(logits, olens) → list of id-lists; defaults to on-device greedy.
     Pass a beam_decode closure for prefix-beam / LM-fused evaluation.
     """
-    acc = CERAccumulator()
-    total_loss, n = 0.0, 0
-    for entry in batches:
-        bid, idxs = entry[0], entry[1]
-        n_valid = entry[2] if len(entry) > 2 else len(idxs)
-        batch = loader.load(bid, idxs)
-        losses, logits, olens = eval_step(batch)
-        if decode_fn is None:
-            ids, out_lens = greedy_decode(logits, olens)
-            ids, out_lens = np.asarray(ids), np.asarray(out_lens)
-            hyps = [list(ids[i, : out_lens[i]]) for i in range(n_valid)]
-        else:
-            hyps = decode_fn(logits, olens)
-        losses = np.asarray(losses)[:n_valid]
-        for i in range(n_valid):
-            acc.add(vocab.decode(hyps[i]), utts[int(idxs[i])].text)
-        # impossible CTC samples carry the -LOG_ZERO sentinel loss — drop
-        # them from the mean exactly as train/step.py's valid mask does
-        fin = np.isfinite(losses) & (losses < -LOG_ZERO / 2)
-        total_loss += float(losses[fin].sum())
-        n += int(fin.sum())
-    return acc, total_loss / max(n, 1)
+    accs, mean_loss = evaluate_multi(eval_step, loader, batches, vocab,
+                                     utts, {"_": decode_fn})
+    return accs["_"], mean_loss
 
 
 def _resolve_data_mode(cfg: Config, sampler: BucketSampler) -> str:
