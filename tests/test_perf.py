@@ -258,11 +258,14 @@ def test_ctc_fwdbwd_ms():
 
     def timed(fn):
         g = fn(logits); _drain(g)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            g = fn(logits)
-        _drain(g)
-        return (time.perf_counter() - t0) / iters
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                g = fn(logits)
+            _drain(g)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
 
     t1, t5 = timed(chain(1)), timed(chain(5))
     ms = (t5 - t1) / 4 * 1e3
