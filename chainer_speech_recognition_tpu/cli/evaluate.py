@@ -64,6 +64,7 @@ def main(argv=None):
     # shard eval over every available device when the static bucket batch
     # sizes split evenly (VERDICT r1 missing #3); else single-device
     n_dev = len(jax.devices())
+    mesh = None
     if n_dev > 1 and all(bs % n_dev == 0 for bs in cfg.buckets.batch_sizes):
         # all VISIBLE devices, regardless of the training-time mesh size
         mesh = make_mesh(dataclasses.replace(cfg.parallel, num_devices=0))
@@ -91,8 +92,11 @@ def main(argv=None):
         lm_dense = lm.to_dense() if lm else None
 
         def decode_fn(logits, olens):
+            # beam rows split over the mesh when one is active (all chips
+            # decode; identical results, B % n guaranteed by eval_batches)
             return beam_decode(logits, olens, beam=args.beam, lm=lm_dense,
-                               alpha=args.lm_alpha, beta=args.lm_beta)
+                               alpha=args.lm_alpha, beta=args.lm_beta,
+                               mesh=mesh, axis=cfg.parallel.data_axis)
 
     if sampler.num_dropped:
         print(f"warning: {sampler.num_dropped}/{len(utts)} utterances exceed "
@@ -105,7 +109,8 @@ def main(argv=None):
         decoders = {
             "greedy": None,
             f"beam{args.beam}": (lambda lg, ol: beam_decode(
-                lg, ol, beam=args.beam)),
+                lg, ol, beam=args.beam, mesh=mesh,
+                axis=cfg.parallel.data_axis)),
         }
         if lm_dense is not None:
             decoders[f"beam{args.beam}+lm"] = decode_fn

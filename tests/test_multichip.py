@@ -105,3 +105,28 @@ def test_sharded_eval_matches_single_device():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g8),
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o8))
+
+
+def test_sharded_beam_matches_single_device():
+    """beam_decode(mesh=...) splits rows over the 8-device mesh — results
+    must be identical to the single-device beam, with and without LM."""
+    from chainer_speech_recognition_tpu.config import preset_config
+    from chainer_speech_recognition_tpu.decode.beam import beam_decode
+    from chainer_speech_recognition_tpu.decode.lm import NGramLM
+    from chainer_speech_recognition_tpu.parallel.mesh import make_mesh
+    from chainer_speech_recognition_tpu.vocab import Vocab
+
+    mesh = make_mesh(preset_config("bigru").parallel)   # 8 fake devices
+    vocab = Vocab.build(["あいう", "ういあ", "あいあ"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 30 + ["あいあ"] * 7, vocab, order=2)
+    B, T, V = 16, 20, len(vocab)
+    rng = np.random.default_rng(9)
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 2
+    lens = rng.integers(8, T + 1, B)
+    for lm_arg, a, b in [(None, 0.0, 0.0), (lm, 0.6, 0.8)]:
+        single = beam_decode(logits, lens, beam=8, lm=lm_arg,
+                             alpha=a, beta=b)
+        sharded = beam_decode(logits, lens, beam=8, lm=lm_arg,
+                              alpha=a, beta=b, mesh=mesh)
+        assert [[int(x) for x in h] for h in sharded] == \
+               [[int(x) for x in h] for h in single]
