@@ -183,29 +183,50 @@ def _bench_from_disk(cfg, vocab_size, args, n_chips):
     from chainer_speech_recognition_tpu.data.device_cache import (
         RotatingDeviceCache, estimate_bytes)
 
-    budget = max(estimate_bytes(sampler) // 2, 1)       # → ~4 windows
+    import concurrent.futures
+
+    budget = max(estimate_bytes(sampler, features=True), 1) // 2  # ≥4 windows
     rot = RotatingDeviceCache(mesh, loader, sampler, budget_bytes=budget,
-                              seed=0)
+                              seed=0, features_cfg=cfg.features)
     Kr = 2
     rot_step = make_cached_train_step(model, cfg, mesh, rot,
                                       steps_per_dispatch=Kr)
     sh_r = dispatch_sharding(mesh, 2)
     rot_done = 0
     t_rot0 = None
-    for epoch in range(3):                              # epoch 0 warms/compiles
-        plan = rot.epoch_plan(epoch, Kr)
-        cur_w = None
-        for w, bid, slots in plan:
-            if w != cur_w:
-                rot.set_window(rot.fetch_window(epoch, w))
-                cur_w = w
-            state, m = rot_step(state, bid, jax.device_put(slots, sh_r))
-            if t_rot0 is not None:
-                rot_done += 1
-        if epoch == 0:
-            _ = float(m["loss"])                        # drain compile+warm
-            t_rot0 = time.perf_counter()
-    _ = float(m["loss"])                                # drain
+    # double-buffered window fetch, exactly like train/loop.py's rotating
+    # branch — the measured pipeline IS the production pipeline
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        for epoch in range(3):                          # epoch 0 warms/compiles
+            plan = rot.epoch_plan(epoch, Kr)
+            window_seq = []
+            for w, _, _ in plan:
+                if not window_seq or window_seq[-1] != w:
+                    window_seq.append(w)
+            futures = {}
+            if window_seq:
+                futures[window_seq[0]] = pool.submit(
+                    rot.fetch_window, epoch, window_seq[0])
+            cur_w = None
+            for w, bid, slots in plan:
+                if w != cur_w:
+                    rot.set_window(futures.pop(w).result())
+                    cur_w = w
+                    pos = window_seq.index(w) + 1
+                    nxt = window_seq[pos] if pos < len(window_seq) else None
+                    if nxt is not None and nxt not in futures:
+                        futures[nxt] = pool.submit(rot.fetch_window,
+                                                   epoch, nxt)
+                state, m = rot_step(state, bid, jax.device_put(slots, sh_r))
+                if t_rot0 is not None:
+                    rot_done += 1
+            if epoch == 0:
+                _ = float(m["loss"])                    # drain compile+warm
+                t_rot0 = time.perf_counter()
+        _ = float(m["loss"])                            # drain
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     rot_dt = time.perf_counter() - t_rot0
     rot_ups = args.batch * Kr * rot_done / rot_dt / n_chips if rot_done else 0.0
 

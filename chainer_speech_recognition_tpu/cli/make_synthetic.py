@@ -35,12 +35,22 @@ def main(argv=None):
     p.add_argument("--max-labels", type=int, default=150)
     p.add_argument("--min-seconds", type=float, default=5.0)
     p.add_argument("--max-seconds", type=float, default=15.0)
-    p.add_argument("--noise", type=float, default=0.05,
-                   help="tones style: additive white-noise amplitude")
+    p.add_argument("--noise", type=float, default=None,
+                   help="tones style only: additive white-noise amplitude "
+                        "(default 0.05)")
     p.add_argument("--snr-db", type=float, default=None,
-                   help="confusable style: fixed SNR instead of U(8,18) dB")
+                   help="confusable style only: fixed SNR instead of "
+                        "U(8,18) dB")
     p.add_argument("--seed", type=int, default=20260816)
     args = p.parse_args(argv)
+
+    # fail loudly on knobs that would be silently ignored by the style
+    if args.style == "confusable" and args.noise is not None:
+        raise SystemExit("--noise applies to --style tones; use --snr-db "
+                         "for the confusable style")
+    if args.style == "tones" and args.snr_db is not None:
+        raise SystemExit("--snr-db applies to --style confusable; use "
+                         "--noise for the tones style")
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
@@ -62,7 +72,9 @@ def main(argv=None):
                     k = int(rng.integers(1, args.vocab))
                 ids.append(k)
             sig, _ = make_utterance(rng, ids, tone_len=tone_len,
-                                    noise=args.noise, vocab_size=args.vocab)
+                                    noise=(0.05 if args.noise is None
+                                           else args.noise),
+                                    vocab_size=args.vocab)
         write_wav(os.path.join(args.out, f"u{i:05d}.wav"), sig)
         # symbol k ↔ the kana at codepoint 0x3041+k (stable, readable)
         text = "".join(chr(0x3041 + k) for k in ids)

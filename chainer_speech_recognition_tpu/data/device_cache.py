@@ -33,12 +33,15 @@ from .buckets import bucket_shapes
 from .sampler import BucketSampler
 
 
-def _build_features(mesh, axis, sig_dev, num_dev, features_cfg,
-                    cache_dtype, chunk):
-    """Run the configured front-end once over a bucket's device-resident
-    PCM, sharded rows staying local; ``lax.map`` over row chunks bounds
-    the transient (ext-signal + fp32-feature) memory to ``chunk`` rows per
-    device. Returns (features [n*R, T, M, 3] cache_dtype, frame_lengths)."""
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _feature_builder(mesh, axis, features_cfg, cache_dtype, chunk):
+    """Cached jitted shard_map front-end builder — RotatingDeviceCache
+    calls this per window per epoch; re-tracing it each call would put
+    seconds of compile on every window swap's critical path. Shapes
+    re-specialize through the inner jit cache."""
     from jax import shard_map
     from ..frontend import select_frontend
 
@@ -48,7 +51,13 @@ def _build_features(mesh, axis, sig_dev, num_dev, features_cfg,
 
     def local(sig, num):                       # [R, S] int16, [R] int32
         R = sig.shape[0]
-        nc = R // chunk
+        # pad the TRANSIENT front-end input to a chunk multiple (padded
+        # rows are sliced away below — the cache never stores them)
+        R_pad = -(-R // chunk) * chunk
+        if R_pad != R:
+            sig = jnp.pad(sig, ((0, R_pad - R), (0, 0)))
+            num = jnp.pad(num, (0, R_pad - R), constant_values=1)
+        nc = R_pad // chunk
 
         def one(args):
             s, n = args
@@ -57,23 +66,56 @@ def _build_features(mesh, axis, sig_dev, num_dev, features_cfg,
             return f.astype(cdt), fl
         f, fl = jax.lax.map(
             one, (sig.reshape(nc, chunk, -1), num.reshape(nc, chunk)))
-        return f.reshape((R,) + f.shape[2:]), fl.reshape(-1)
+        f = f.reshape((R_pad,) + f.shape[2:])
+        return f[:R], fl.reshape(-1)[:R]
 
-    fn = jax.jit(shard_map(local, mesh=mesh,
-                           in_specs=(P(axis), P(axis)),
-                           out_specs=(P(axis), P(axis)),
-                           check_vma=False))
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(axis), P(axis)),
+                             out_specs=(P(axis), P(axis)),
+                             check_vma=False))
+
+
+def _build_features(mesh, axis, sig_dev, num_dev, features_cfg,
+                    cache_dtype, chunk):
+    """Run the configured front-end once over a bucket's device-resident
+    PCM, sharded rows staying local; ``lax.map`` over row chunks bounds
+    the transient (ext-signal + fp32-feature) memory to ``chunk`` rows per
+    device. Returns (features [n*R, T, M, 3] cache_dtype, frame_lengths)."""
+    fn = _feature_builder(mesh, axis, features_cfg, cache_dtype, chunk)
     return fn(sig_dev, num_dev)
 
 
-def estimate_bytes(sampler: BucketSampler) -> int:
-    """Device bytes the cache would occupy across the whole mesh."""
-    total = 0
+def _pcm_row_bytes(shape) -> int:
+    return shape.max_samples * 2 + shape.max_label_len * 4 + 8
+
+
+def _feat_row_bytes(shape, cache_dtype: str) -> int:
+    from .. import constants as C
+
+    itemsize = np.dtype(cache_dtype).itemsize
+    return (shape.max_frames * C.N_MELS * C.N_FEATURE_CHANNELS * itemsize
+            + shape.max_label_len * 4 + 8)
+
+
+def estimate_bytes(sampler: BucketSampler, features: bool = False,
+                   cache_dtype: str = "bfloat16") -> int:
+    """Device bytes the cache would occupy across the whole mesh.
+
+    ``features=True`` (the train-loop default path) estimates the BUILD
+    PEAK of the feature cache — steady-state bf16 features plus the
+    largest single bucket's transient PCM (buckets build one at a time;
+    each bucket's PCM is freed once its features exist) — so the
+    device_cache/rotating auto decision respects the budget even while
+    building, not just at steady state."""
+    total, max_bucket_pcm = 0, 0
     for shape, idxs in zip(sampler.shapes, sampler.buckets):
-        per_row = (shape.max_samples * 2          # int16 PCM
-                   + shape.max_label_len * 4 + 8)  # labels + lengths
-        total += per_row * len(idxs)
-    return total
+        if features:
+            total += _feat_row_bytes(shape, cache_dtype) * len(idxs)
+            max_bucket_pcm = max(max_bucket_pcm,
+                                 shape.max_samples * 2 * len(idxs))
+        else:
+            total += _pcm_row_bytes(shape) * len(idxs)
+    return total + max_bucket_pcm
 
 
 class DeviceCorpusCache:
@@ -112,12 +154,11 @@ class DeviceCorpusCache:
         self.buckets: dict[int, dict] = {}
         self.real_counts: dict[int, np.ndarray] = {}   # [n] per device
         self.utt_map: dict[int, np.ndarray] = {}       # [n, R] -> corpus idx
-        chunk = self.FE_CHUNK if features_cfg is not None else 1
         for bid, idxs in enumerate(sampler.buckets):
             if len(idxs) == 0:
                 continue
             local = [idxs[d :: self.n] for d in range(self.n)]
-            R = -(-max(len(l) for l in local) // chunk) * chunk
+            R = max(len(l) for l in local)
             counts = np.asarray([len(l) for l in local], np.int32)
             padded = np.stack([
                 np.concatenate([l, np.full(R - len(l), idxs[0],
@@ -133,7 +174,7 @@ class DeviceCorpusCache:
                 feats, flens = _build_features(
                     mesh, axis, jax.device_put(sig, sharding),
                     jax.device_put(num, sharding),
-                    features_cfg, cache_dtype, chunk)
+                    features_cfg, cache_dtype, self.FE_CHUNK)
                 self.buckets[bid] = {
                     "features": feats, "frame_lengths": flens,
                     "labels": jax.device_put(host["labels"], sharding),
@@ -252,14 +293,23 @@ class RotatingDeviceCache:
         self.features_cfg = features_cfg
         self.cache_dtype = cache_dtype
         self.bucket_rows: dict[int, list[np.ndarray]] = {}   # per device
-        total = 0
+        # window sizing respects the budget at the RESIDENCY PEAK, not the
+        # steady state: PCM mode holds 2 windows (double buffer) = 2p/row;
+        # feature mode holds the current window's features, the next
+        # window's features, and the next window's transient build PCM
+        # = (2f + p)/row
+        total_cost = 0
         for bid, idxs in enumerate(sampler.buckets):
             if len(idxs) == 0:
                 continue
             self.bucket_rows[bid] = [idxs[d :: self.n] for d in range(self.n)]
             shape = self.shapes[bid]
-            per_row = (shape.max_samples * 2 + shape.max_label_len * 4 + 8)
-            total += per_row * len(idxs)
+            if features_cfg is not None:
+                cost = 2 * _feat_row_bytes(shape, cache_dtype) \
+                    + _pcm_row_bytes(shape)
+            else:
+                cost = 2 * _pcm_row_bytes(shape)
+            total_cost += cost * len(idxs)
         if not self.bucket_rows:
             raise ValueError("rotating cache: no non-empty buckets")
         # make_cached_train_step reads .buckets at call time; the loop
@@ -267,15 +317,12 @@ class RotatingDeviceCache:
         # its first dispatch. Instance state — two live caches must not
         # share a window (ADVICE r1).
         self.buckets: dict[int, dict] = {}
-        self.n_windows = max(1, -(-total // max(int(budget_bytes) // 2, 1)))
-        # fixed per-device rows per window, per bucket (ceil split; padded
-        # to the front-end build chunk when feature windows are on)
-        chunk = DeviceCorpusCache.FE_CHUNK if features_cfg is not None else 1
+        self.n_windows = max(1, -(-total_cost // max(int(budget_bytes), 1)))
+        # fixed per-device rows per window, per bucket (ceil split)
         self.rows_per_window: dict[int, int] = {}
         for bid, per_dev in self.bucket_rows.items():
             r_max = max(len(l) for l in per_dev)
-            r = -(-r_max // self.n_windows)
-            self.rows_per_window[bid] = -(-r // chunk) * chunk
+            self.rows_per_window[bid] = -(-r_max // self.n_windows)
 
     # ---- epoch plan -------------------------------------------------------
 

@@ -81,7 +81,11 @@ class SymbolMarkov:
     def __init__(self, vocab_size: int, branching: int = 6,
                  seed: int = 0x5E9):
         V = vocab_size
+        if V < 3:
+            raise ValueError("SymbolMarkov needs vocab_size >= 3 "
+                             "(>=1 non-self successor per symbol)")
         rng = np.random.default_rng([seed, V, branching])
+        branching = min(branching, V - 2)   # small vocabs: fewer successors
         self.succ = np.zeros((V, branching), np.int32)
         self.probs = np.zeros((V, branching), np.float64)
         for k in range(V):

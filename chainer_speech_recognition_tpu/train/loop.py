@@ -93,7 +93,9 @@ def _resolve_data_mode(cfg: Config, sampler: BucketSampler) -> str:
     if cfg.features.use_cache:           # precomputed-feature batches: stream
         return "stream"
     if mode == "auto":
-        fits = estimate_bytes(sampler) <= cfg.train.device_cache_budget_gb * 1e9
+        est = estimate_bytes(sampler, features=cfg.train.cache_features,
+                             cache_dtype=cfg.train.cache_dtype)
+        fits = est <= cfg.train.device_cache_budget_gb * 1e9
         return "device_cache" if fits else "rotating"
     return mode
 
@@ -160,7 +162,9 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         log.log("data_mode", mode=data_mode,
                 steps_per_dispatch=k_dispatch,
                 n_windows=corpus_cache.n_windows,
-                corpus_bytes=estimate_bytes(sampler))
+                corpus_bytes=estimate_bytes(
+                    sampler, features=cfg.train.cache_features,
+                    cache_dtype=cfg.train.cache_dtype))
     elif data_mode == "device_cache":
         t_c = time.perf_counter()
         k_dispatch = max(1, cfg.train.steps_per_dispatch)
@@ -175,7 +179,9 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         log.log("data_mode", mode=data_mode,
                 steps_per_dispatch=k_dispatch,
                 cache_features=cfg.train.cache_features,
-                cache_bytes=estimate_bytes(sampler),
+                cache_bytes=estimate_bytes(
+                    sampler, features=cfg.train.cache_features,
+                    cache_dtype=cfg.train.cache_dtype),
                 build_seconds=round(time.perf_counter() - t_c, 2))
     else:
         train_step = make_train_step(model, cfg, mesh)

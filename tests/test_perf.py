@@ -269,7 +269,7 @@ def test_ctc_fwdbwd_ms():
 
     t1, t5 = timed(chain(1)), timed(chain(5))
     ms = (t5 - t1) / 4 * 1e3
-    floor = FLOOR["ctc_pallas_fwdbwd_b64_t256_s160_ms"]
+    floor = FLOOR["ctc_pallas_fwdbwd_b64_t256_s32_ms"]
     assert ms <= floor / MARGIN, f"CTC fwd+bwd {ms:.2f} ms > {floor}/{MARGIN}"
 
 
