@@ -49,6 +49,47 @@ def test_rotating_feature_windows(tmp_path):
     assert (np.asarray(buf["frame_lengths"]) > 0).all()
 
 
+def test_rotating_features_equal_device_cache_features(tmp_path):
+    """The same utterance must get bit-identical cached features whether
+    it arrives via a rotating window or the full-corpus cache (same
+    front-end, same chunking) — guards against window assembly reordering
+    or re-normalizing rows."""
+    from chainer_speech_recognition_tpu.data.device_cache import (
+        DeviceCorpusCache)
+
+    utts, vocab, pc = _packed(tmp_path, n=24)
+    cfg = _tiny_cfg(len(vocab))
+    sampler = BucketSampler(utts, cfg.buckets, seed=0)
+    loader = PackedBatchLoader(pc, cfg.buckets)
+    mesh = make_mesh(cfg.parallel)
+    full = DeviceCorpusCache(mesh, loader, sampler, seed=0,
+                             features_cfg=cfg.features)
+    rot = RotatingDeviceCache(mesh, loader, sampler, budget_bytes=1,
+                              seed=0, features_cfg=cfg.features)
+    buffers = rot.fetch_window(0, 0)
+    bid = next(iter(buffers))
+    # map rotating window rows back to corpus indices, then find each in
+    # the full cache's utt_map and compare the feature rows
+    perms = rot._epoch_perms(0)
+    win_rows = rot._window_rows(perms, 0)[bid]          # [n, R_w]
+    full_map = full.utt_map[bid]                        # [n, R_f]
+    rot_f = np.asarray(buffers[bid]["features"], np.float32)
+    full_f = np.asarray(full.buckets[bid]["features"], np.float32)
+    n = mesh.devices.size
+    R_w, R_f = win_rows.shape[1], full_map.shape[1]
+    checked = 0
+    for d in range(n):
+        for j in range(R_w):
+            corpus_idx = win_rows[d, j]
+            hits = np.nonzero(full_map[d] == corpus_idx)[0]
+            if len(hits) == 0:
+                continue
+            np.testing.assert_array_equal(
+                rot_f[d * R_w + j], full_f[d * R_f + int(hits[0])])
+            checked += 1
+    assert checked >= 8, f"only {checked} overlapping rows compared"
+
+
 @pytest.mark.slow
 def test_rotating_plan_covers_every_row(tmp_path):
     utts, vocab, pc, cfg, sampler, loader, cache = _rot(tmp_path)
