@@ -194,30 +194,17 @@ def _bench_from_disk(cfg, vocab_size, args, n_chips):
     sh_r = dispatch_sharding(mesh, 2)
     rot_done = 0
     t_rot0 = None
-    # double-buffered window fetch, exactly like train/loop.py's rotating
-    # branch — the measured pipeline IS the production pipeline
+    # the SAME double-buffered window iteration as train/loop.py's
+    # rotating branch (shared generator) — the measured pipeline IS the
+    # production pipeline
+    from chainer_speech_recognition_tpu.data.device_cache import (
+        rotating_dispatches)
+
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     try:
         for epoch in range(3):                          # epoch 0 warms/compiles
             plan = rot.epoch_plan(epoch, Kr)
-            window_seq = []
-            for w, _, _ in plan:
-                if not window_seq or window_seq[-1] != w:
-                    window_seq.append(w)
-            futures = {}
-            if window_seq:
-                futures[window_seq[0]] = pool.submit(
-                    rot.fetch_window, epoch, window_seq[0])
-            cur_w = None
-            for w, bid, slots in plan:
-                if w != cur_w:
-                    rot.set_window(futures.pop(w).result())
-                    cur_w = w
-                    pos = window_seq.index(w) + 1
-                    nxt = window_seq[pos] if pos < len(window_seq) else None
-                    if nxt is not None and nxt not in futures:
-                        futures[nxt] = pool.submit(rot.fetch_window,
-                                                   epoch, nxt)
+            for bid, slots in rotating_dispatches(rot, epoch, plan, pool):
                 state, m = rot_step(state, bid, jax.device_put(slots, sh_r))
                 if t_rot0 is not None:
                     rot_done += 1

@@ -17,10 +17,10 @@ from ..data.corpus import load_index
 from ..data.sampler import BatchLoader, BucketSampler
 from ..models.presets import build_model
 from ..train.checkpoint import latest_checkpoint, load_config, restore_checkpoint
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh
 from ..train.loop import evaluate, evaluate_multi
 from ..train.state import init_state
-from ..train.step import make_eval_step, make_sharded_eval_step
+from ..train.step import make_auto_eval
 from ..vocab import Vocab
 
 
@@ -68,20 +68,10 @@ def main(argv=None):
     if n_dev > 1 and all(bs % n_dev == 0 for bs in cfg.buckets.batch_sizes):
         # all VISIBLE devices, regardless of the training-time mesh size
         mesh = make_mesh(dataclasses.replace(cfg.parallel, num_devices=0))
-        eval_step = make_sharded_eval_step(model, cfg, mesh)
+    raw_eval = make_auto_eval(model, cfg, mesh)
 
-        def eval_fn(batch):
-            b = shard_batch(mesh, {k: v for k, v in batch.items()
-                                   if k != "bucket_id"},
-                            axis=cfg.parallel.data_axis)
-            return eval_step(state.params, b)
-    else:
-        eval_step = make_eval_step(model, cfg)
-
-        def eval_fn(batch):
-            b = {k: jnp.asarray(v) for k, v in batch.items()
-                 if k != "bucket_id"}
-            return eval_step(state.params, b)
+    def eval_fn(batch):
+        return raw_eval(state.params, batch)
 
     decode_fn = None
     lm_dense = None

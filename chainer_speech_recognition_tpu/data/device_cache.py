@@ -23,6 +23,8 @@ picks per config; ``estimate_bytes`` lets callers decide).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -31,9 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .buckets import bucket_shapes
 from .sampler import BucketSampler
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)
@@ -440,3 +439,29 @@ class RotatingDeviceCache:
 
     def set_window(self, buffers: dict[int, dict]) -> None:
         self.buckets = buffers
+
+
+def rotating_dispatches(cache: RotatingDeviceCache, epoch: int, plan, pool):
+    """Iterate a rotating (sub-)plan with double-buffered window fetches —
+    the ONE implementation of the swap discipline used by both the train
+    loop and bench.py: window w+1's host assembly + transfer (+ on-device
+    FE in feature mode) runs on ``pool`` while window w trains. Yields
+    (bucket_id, slots) with the right window resident."""
+    window_seq: list[int] = []
+    for w, _, _ in plan:
+        if not window_seq or window_seq[-1] != w:
+            window_seq.append(w)
+    futures = {}
+    if window_seq:
+        futures[window_seq[0]] = pool.submit(
+            cache.fetch_window, epoch, window_seq[0])
+    cur_w = None
+    for w, bid, slots in plan:
+        if w != cur_w:
+            cache.set_window(futures.pop(w).result())
+            cur_w = w
+            pos = window_seq.index(w) + 1
+            if pos < len(window_seq) and window_seq[pos] not in futures:
+                futures[window_seq[pos]] = pool.submit(
+                    cache.fetch_window, epoch, window_seq[pos])
+        yield bid, slots

@@ -224,6 +224,32 @@ def make_eval_step(model, cfg: Config) -> Callable:
     return eval_step
 
 
+def make_auto_eval(model, cfg: Config, mesh=None) -> Callable:
+    """Eval over HOST batches: ``call(params, batch)`` strips
+    ``bucket_id``, moves rows to device — sharded over ``mesh`` when it
+    has >1 device, plain single-device otherwise — and returns
+    (losses, logits, olens). The one place the sharded/unsharded eval
+    dichotomy lives (used by the train loop and the evaluate CLI)."""
+    from ..parallel.mesh import shard_batch
+
+    if mesh is not None and mesh.devices.size > 1:
+        step = make_sharded_eval_step(model, cfg, mesh)
+
+        def call(params, batch):
+            b = shard_batch(mesh, {k: v for k, v in batch.items()
+                                   if k != "bucket_id"},
+                            axis=cfg.parallel.data_axis)
+            return step(params, b)
+    else:
+        step = make_eval_step(model, cfg)
+
+        def call(params, batch):
+            b = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "bucket_id"}
+            return step(params, b)
+    return call
+
+
 def make_sharded_eval_step(model, cfg: Config, mesh) -> Callable:
     """Eval step sharded over the DP mesh (VERDICT r1 missing #3: on an
     8-chip run, periodic dev eval must not serialize onto one chip while
