@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--lm", default=None, help="ARPA n-gram LM for fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=1.0)
+    p.add_argument("--nbest", type=int, default=1,
+                   help="with --beam: print the top-N hypotheses per wav "
+                        "(tab-separated: path, rank, log-score, text)")
     p.add_argument("wavs", nargs="+")
     args = p.parse_args(argv)
 
@@ -50,13 +53,23 @@ def main(argv=None):
     logits, olens = model.apply(state.params, feats, flens)
 
     if args.beam > 0:
-        from ..decode.beam import beam_decode
+        from ..decode.beam import beam_decode, beam_decode_nbest
         from ..decode.lm import NGramLM
         lm = NGramLM.from_arpa(args.lm, vocab) if args.lm else None
-        hyps = beam_decode(logits, olens, beam=args.beam, lm=lm,
-                           alpha=args.lm_alpha, beta=args.lm_beta)
-        for w, h in zip(args.wavs, hyps):
-            print(f"{w}\t{vocab.decode(h)}")
+        if args.nbest > 1:
+            n = min(args.nbest, args.beam)
+            pfx, plen, scores = beam_decode_nbest(
+                logits, olens, beam=args.beam, lm=lm,
+                alpha=args.lm_alpha, beta=args.lm_beta)
+            for i, w in enumerate(args.wavs):
+                for k in range(n):
+                    text = vocab.decode(pfx[i, k, : plen[i, k]])
+                    print(f"{w}\t{k + 1}\t{scores[i, k]:.3f}\t{text}")
+        else:
+            hyps = beam_decode(logits, olens, beam=args.beam, lm=lm,
+                               alpha=args.lm_alpha, beta=args.lm_beta)
+            for w, h in zip(args.wavs, hyps):
+                print(f"{w}\t{vocab.decode(h)}")
     else:
         ids, out_lens = greedy_decode(logits, olens)
         ids, out_lens = np.asarray(ids), np.asarray(out_lens)

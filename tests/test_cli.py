@@ -82,6 +82,18 @@ def test_cli_end_to_end(tmp_path, capsys):
                 if l.startswith(wav)][0]
     assert "\t" in out_line
 
+    # n-best decode through the CLI surface
+    decode_cli.main(["--ckpt-dir", ckpt,
+                     "--vocab", os.path.join(out, "vocab.txt"),
+                     "--beam", "4", "--nbest", "3", wav])
+    nbest_lines = [l for l in capsys.readouterr().out.splitlines()
+                   if l.startswith(wav)]
+    assert len(nbest_lines) == 3
+    ranks = [int(l.split("\t")[1]) for l in nbest_lines]
+    scores = [float(l.split("\t")[2]) for l in nbest_lines]
+    assert ranks == [1, 2, 3]
+    assert scores == sorted(scores, reverse=True)   # best-first
+
     # beam + LM through the CLI surface (config 4)
     from chainer_speech_recognition_tpu.cli import train_lm as train_lm_cli
     train_lm_cli.main(["--data-dir", out, "--order", "2"])
