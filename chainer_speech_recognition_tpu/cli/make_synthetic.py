@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--snr-db", type=float, default=None,
                    help="confusable style only: fixed SNR instead of "
                         "U(8,18) dB")
+    p.add_argument("--coarticulation", action="store_true",
+                   help="confusable style only: formant transitions from "
+                        "the previous symbol over each token's onset "
+                        "(context-dependent acoustics; off by default so "
+                        "the v2 parity corpus regenerates byte-identically)")
     p.add_argument("--seed", type=int, default=20260816)
     args = p.parse_args(argv)
 
@@ -63,7 +68,8 @@ def main(argv=None):
         if args.style == "confusable":
             ids = markov.sample(rng, n_lab)
             sig, _ = synth.utterance(rng, ids, tone_len=tone_len,
-                                     snr_db=args.snr_db)
+                                     snr_db=args.snr_db,
+                                     coarticulation=args.coarticulation)
         else:
             ids = []
             for _ in range(n_lab):      # no adjacent repeats: unambiguous CTC

@@ -144,12 +144,21 @@ class ConfusableSynth:
 
     def utterance(self, rng: np.random.Generator, label_ids,
                   tone_len: int = 1600, snr_db: float | None = None,
-                  sr: int = C.SAMPLE_RATE):
-        """label ids (1-based) → (signal float32, labels int32)."""
+                  sr: int = C.SAMPLE_RATE, coarticulation: bool = False):
+        """label ids (1-based) → (signal float32, labels int32).
+
+        ``coarticulation=True`` adds formant TRANSITIONS: each token's
+        spectrum cross-fades from the PREVIOUS symbol's formant envelope
+        over its first ~35% (≤60 ms) — token onsets become
+        context-dependent, like real CV transitions, so a frame-wise
+        model can no longer classify each frame from its own spectrum
+        alone. (Off by default: the v2 parity corpus regenerates
+        byte-identically.)"""
         f0 = rng.uniform(95.0, 260.0)
         vtl = rng.uniform(0.92, 1.08)       # vocal-tract length scale
         tilt = rng.uniform(-9.0, -3.0)      # dB/octave
         segs = []
+        prev_f = None                       # previous token's (f1, f2)
         for kk in label_ids:
             k = int(kk) - 1
             d = max(int(tone_len * rng.uniform(0.7, 1.35)), 4 * C.HOP_LENGTH)
@@ -167,14 +176,30 @@ class ConfusableSynth:
                 + rng.uniform(0, 2 * np.pi))
             phase = 2 * np.pi * np.cumsum(tok_f0 * drift) / sr   # [d]
             amps = self._formant_env(h * tok_f0, jf1, jf2, tilt)  # [H]
+            if coarticulation and prev_f is not None:
+                # cross-fade from the previous symbol's spectrum: a
+                # cheap-but-effective stand-in for a true formant glide
+                amps_prev = self._formant_env(h * tok_f0, prev_f[0],
+                                              prev_f[1], tilt)
+                glide = min(int(0.35 * d), int(0.060 * sr))
+                wfade = np.ones(d, np.float32)
+                wfade[:glide] = np.linspace(0.0, 1.0, glide,
+                                            dtype=np.float32)
+            else:
+                amps_prev, wfade = None, None
+            prev_f = (jf1, jf2)
             # drop harmonics below 2% of the strongest — they are inaudible
             # under the noise floor and sin() dominates synthesis cost
-            keep = amps > 0.02 * amps.max()
+            ref = amps if amps_prev is None else np.maximum(amps, amps_prev)
+            keep = ref > 0.02 * ref.max()
             h, amps = h[keep], amps[keep]
-            seg = (amps.astype(np.float32)
-                   @ np.sin(np.outer(h, phase).astype(np.float32)
-                            + rng.uniform(0, 2 * np.pi,
-                                          (len(h), 1)).astype(np.float32)))
+            waves = np.sin(np.outer(h, phase).astype(np.float32)
+                           + rng.uniform(0, 2 * np.pi,
+                                         (len(h), 1)).astype(np.float32))
+            seg = amps.astype(np.float32) @ waves
+            if amps_prev is not None:
+                seg_prev = amps_prev[keep].astype(np.float32) @ waves
+                seg = wfade * seg + (1.0 - wfade) * seg_prev
             seg *= amp / max(np.sqrt(np.mean(seg ** 2)), 1e-6)
             # raised-cosine attack/decay (~6 ms) — no clicks, and an
             # amplitude dip at token boundaries like real articulation
