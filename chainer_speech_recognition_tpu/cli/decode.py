@@ -35,6 +35,14 @@ def main(argv=None):
     p.add_argument("wavs", nargs="+")
     args = p.parse_args(argv)
 
+    # --nbest only has meaning on the beam path (ADVICE r2): fail loudly
+    # instead of silently printing greedy 1-best
+    if args.nbest > 1 and args.beam <= 0:
+        raise SystemExit("--nbest requires --beam K")
+    if args.beam > 0 and args.nbest > args.beam:
+        print(f"warning: --nbest {args.nbest} clamped to beam width "
+              f"{args.beam}")
+
     cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
     vocab = Vocab.load(args.vocab)
 

@@ -128,7 +128,9 @@ class TrainConfig:
                                 # HBM (sharded over the mesh) and sends only
                                 # [B] indices per step; auto picks it when
                                 # the corpus fits device_cache_budget_gb
-    device_cache_budget_gb: float = 4.0
+    device_cache_budget_gb: float = 4.0  # PER-CHIP: the cache is row-
+                                # sharded, so an n-chip mesh admits n×
+                                # this before falling back to rotating
     cache_features: bool = True  # device_cache mode: run the front-end
                                 # ONCE at cache build and keep bf16
                                 # features in HBM (245 KB/1024-frame utt —
@@ -150,6 +152,14 @@ class TrainConfig:
     total_steps: int = 10_000
     log_every: int = 50
     eval_every: int = 1000
+    eval_beam: int = 0          # >0: periodic dev eval ALSO scores a K-wide
+                                # prefix beam (and beam+LM when eval_lm is
+                                # set) from the SAME forward pass, so a
+                                # config-4 regression shows during training
+                                # not just in post-hoc `evaluate --compare`
+    eval_lm: str = ""           # ARPA LM path for the beam+LM eval column
+    eval_lm_alpha: float = 0.5  # shallow-fusion weight for the eval column
+    eval_lm_beta: float = 1.0   # per-char insertion bonus
     checkpoint_every: int = 1000
     keep_checkpoints: int = 3
     checkpoint_dir: str = "checkpoints"

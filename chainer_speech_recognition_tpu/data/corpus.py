@@ -124,11 +124,25 @@ def scan_kaldi_style(root: str) -> list[Utterance]:
                                       float(parts[3]))
         rec_len: dict[str, int] = {}    # recording → samples at contract rate
 
-        def rec_samples(rec_id: str) -> int:
+        def rec_samples(rec_id: str) -> int | None:
+            """Recording length at the contract rate; None = unreadable.
+
+            int(round(...)) matches resample_sinc's output-length rounding
+            (utils/wav.py) — plain int() truncation could understate a
+            non-16 kHz recording by one sample and shave the final sample
+            off a segment ending exactly at EOF (ADVICE r2). A missing or
+            corrupt wav listed in wav.scp skips its segments with a
+            warning instead of aborting the whole corpus scan."""
             if rec_id not in rec_len:
-                with wave.open(resolve(wavs[rec_id]), "rb") as w:
-                    rec_len[rec_id] = int(
-                        w.getnframes() * C.SAMPLE_RATE / w.getframerate())
+                try:
+                    with wave.open(resolve(wavs[rec_id]), "rb") as w:
+                        rec_len[rec_id] = int(round(
+                            w.getnframes() * C.SAMPLE_RATE
+                            / w.getframerate()))
+                except (wave.Error, OSError, EOFError) as e:
+                    print(f"warning: skipping unreadable recording "
+                          f"{rec_id} ({wavs[rec_id]}): {e}", file=sys.stderr)
+                    rec_len[rec_id] = None
             return rec_len[rec_id]
 
         for utt_id in sorted(segs.keys() & texts.keys()):
@@ -141,6 +155,8 @@ def scan_kaldi_style(root: str) -> list[Utterance]:
             # must not overstate num_frames (mis-bucketing / padded-frame
             # waste, ADVICE r1); fully out-of-range segments are skipped.
             total = rec_samples(rec_id)
+            if total is None:                       # unreadable recording
+                continue
             off = int(round(start * C.SAMPLE_RATE))
             n = min(int(round(end * C.SAMPLE_RATE)), total) - off
             if off >= total or n <= 0:

@@ -21,7 +21,13 @@ Two implementations:
   (decode/lm.py), scores = log P_am + α·log P_lm + β per emitted char.
 
 Per-utterance lengths freeze the beam past each utterance's last frame —
-all shapes static, no host round-trips until detokenization.
+all shapes static, no host round-trips until detokenization. The
+traceback (ancestry chain-follow + prefix compaction) also runs ON
+DEVICE (reverse scan + stable sort): on a relay-attached TPU, pulling
+the [T,B,K] traceback arrays to host cost ~10× the beam scan itself
+(VERDICT r2 weak #1) — the host now receives one packed
+[B, keep·max_len + keep] int16 array per batch (keep=1 on the 1-best
+paths).
 """
 
 from __future__ import annotations
@@ -121,67 +127,118 @@ def beam_decode(logits, lengths, beam: int = 8, lm=None,
     """
     B, T, V = logits.shape
     max_len = max_len or T
-    tb_parent, tb_char, order, final = _beam_call(
+    packed, _final = _beam_call(
         logits, lengths, beam, max_len, lm, alpha, beta,
-        mesh=mesh, axis=axis)
-    prefixes, lens = _reconstruct(tb_parent, tb_char, order, max_len)
-    return [list(prefixes[b, 0, : lens[b, 0]]) for b in range(B)]
+        mesh=mesh, axis=axis, keep=1)
+    pfx, plen = _unpack(np.asarray(packed), 1, max_len)
+    return [list(pfx[b, 0, : plen[b, 0]]) for b in range(B)]
+
+
+def _unpack(packed: np.ndarray, keep: int, max_len: int):
+    """[B, keep·max_len + keep] int16 → (pfx [B,keep,max_len], plen
+    [B,keep]), both widened back to int32 for callers."""
+    B = packed.shape[0]
+    packed = packed.astype(np.int32)
+    pfx = packed[:, : keep * max_len].reshape(B, keep, max_len)
+    plen = packed[:, keep * max_len:]
+    return pfx, plen
 
 
 import functools
 
+# host-array → device-array cache for the dense LM table: repeated
+# beam_decode calls (the normal eval loop) must not re-upload the table
+# every batch — on a relay-attached TPU each host→device transfer costs
+# milliseconds of latency. Values keep the host array referenced so its
+# id() stays valid for the cache key.
+_LM_DEV_CACHE: dict[int, tuple] = {}
+
+
+def _lm_to_device(table) -> jnp.ndarray:
+    if isinstance(table, jax.Array) and not isinstance(table, np.ndarray):
+        return table.astype(jnp.float32)
+    key = id(table)
+    hit = _LM_DEV_CACHE.get(key)
+    if hit is not None and hit[0] is table:
+        return hit[1]
+    if len(_LM_DEV_CACHE) > 8:
+        _LM_DEV_CACHE.clear()
+    dev = jnp.asarray(table, jnp.float32)
+    _LM_DEV_CACHE[key] = (table, dev)
+    return dev
+
+
+@functools.lru_cache(maxsize=64)
+def _ab_device(alpha: float, beta: float):
+    """(α, β) as ONE cached device array: a fresh host→device transfer
+    per call costs ~1.6 ms of relay latency, and eval loops call with the
+    same fusion weights thousands of times."""
+    return jnp.asarray([alpha, beta], jnp.float32)
+
 
 def _beam_call(logits, lengths, beam, max_len, lm, alpha, beta,
-               mesh=None, axis: str = "data"):
+               mesh=None, axis: str = "data", keep: int | None = None):
     """Shared jit dispatch: α/β travel as TRACED fp32 scalars so an
     (alpha, beta) grid sweep — the standard config-4 tuning loop — costs
     ONE compile per (shape, beam, lm_order), not one per grid point
     (VERDICT r1 Weak #3). Only the no-LM case keeps a static
-    specialization (fuse=False elides the fusion ops entirely)."""
+    specialization (fuse=False elides the fusion ops entirely).
+
+    Per-call host→device traffic is ONE tiny [2] array (α,β) — the LM
+    table is device-cached (_lm_to_device) and results come back as one
+    packed int16 array + the final scores.
+
+    ``keep`` (static, default = beam): how many best-first beams the
+    traceback resolves and the result packs. The relay's device→host
+    bandwidth (~15 MB/s measured) makes the pull scale with keep·max_len,
+    so the 1-best path (beam_decode / beam_decode_stream) passes keep=1
+    — a ~K× smaller transfer AND a ~K× smaller traceback sort."""
+    keep = beam if keep is None else keep
     V = logits.shape[2]
     if isinstance(lm, NGramLM):
         lm = lm.to_dense()
     if lm is not None:
-        lm_table, lm_order, fuse = jnp.asarray(lm[0], jnp.float32), int(lm[1]), True
+        lm_table, lm_order, fuse = _lm_to_device(lm[0]), int(lm[1]), True
     else:                       # no LM ⇒ no fusion score, no length bonus
         lm_table, lm_order, fuse = jnp.zeros((1, V), jnp.float32), 1, False
         alpha = beta = 0.0
+    ab = _ab_device(float(alpha), float(beta))     # cached device scalar pair
     if mesh is not None and mesh.devices.size > 1 \
             and logits.shape[0] % mesh.devices.size == 0:
-        fn = _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse)
-        return fn(jnp.asarray(logits), jnp.asarray(lengths), lm_table,
-                  jnp.float32(alpha), jnp.float32(beta))
+        fn = _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse, keep)
+        return fn(jnp.asarray(logits), jnp.asarray(lengths), lm_table, ab)
     return _beam_decode_jit(
         jnp.asarray(logits), jnp.asarray(lengths), beam, max_len,
-        lm_table, lm_order, fuse,
-        jnp.float32(alpha), jnp.float32(beta))
+        lm_table, lm_order, fuse, ab, keep)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse):
+def _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse, keep):
     """shard_map-wrapped beam core: rows split over the mesh, LM table and
     fusion scalars replicated; tracebacks come back assembled global (the
     time axis of tb_* is axis 0, batch is axis 1)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(logits, lengths, lm_table, alpha, beta):
+    def local(logits, lengths, lm_table, ab):
         return _beam_decode_jit(logits, lengths, beam, max_len,
-                                lm_table, lm_order, fuse, alpha, beta)
+                                lm_table, lm_order, fuse, ab, keep)
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P()),
-        out_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis)),
         check_vma=False))
 
 
 @functools.partial(jax.jit, static_argnames=("beam", "max_len", "lm_order",
-                                              "fuse"))
+                                              "fuse", "keep"))
 def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
-                     fuse, alpha, beta):
+                     fuse, ab, keep=None):
+    keep = beam if keep is None else keep
     B, T, V = logits.shape
     K = beam
+    alpha, beta = ab[0], ab[1]
     lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     C = lm_table.shape[0]
 
@@ -319,43 +376,121 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
                           jnp.maximum(pnb, LOG_ZERO / 2))
     order = jnp.argsort(-final, axis=1)                # [B, K] best-first
     final = jnp.take_along_axis(final, order, axis=1)
-    return tb_parent, tb_char, order, final
+
+    # ---- ON-DEVICE traceback (VERDICT r2 weak #1) -----------------------
+    # A host traceback must first PULL the two [T,B,K] traceback arrays —
+    # on a relay-attached TPU that transfer alone (~100 ms/batch measured
+    # at B32/T256/K8) dwarfs the 6 ms device scan. Resolving ancestry and
+    # compacting prefixes here means the host receives only the tiny
+    # [B,keep,max_len] result. Chain-follow is a reverse scan with one-hot
+    # parent selection (gather-free, like the forward scan); compaction is
+    # a stable sort that moves each chain's emissions to the front. Only
+    # the best ``keep`` chains are followed — the 1-best path never pays
+    # for the other K-1 beams' sort lanes or transfer bytes.
+    k_iota = jnp.arange(K, dtype=jnp.int32)
+
+    def back(cur, tb):
+        tbp_t, tbc_t = tb                              # [B,K] each
+        oh = cur[:, :, None] == k_iota                 # [B,keep,K_src]
+        ch = jnp.sum(jnp.where(oh, tbc_t[:, None, :], 0), axis=2)
+        nxt = jnp.sum(jnp.where(oh, tbp_t[:, None, :], 0), axis=2)
+        return nxt, ch
+
+    # reverse=True: consume t = T-1..0 carrying the beam index backwards,
+    # stacking each step's emission at its own t → chars[t,b,k] is the
+    # symbol emitted at step t on final beam (b,k)'s ancestry (or -1)
+    _, chars = jax.lax.scan(back, order[:, :keep], (tb_parent, tb_char),
+                            reverse=True)
+    valid = chars >= 0                                 # [T,B,keep]
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    plen = jnp.minimum(jnp.sum(valid, axis=0), max_len).astype(jnp.int32)
+    # stable ascending sort by (invalid-goes-last, emission index): valid
+    # entries keep their order at keys 0..n-1, pads get keys T+t
+    key = jnp.where(valid, pos, T + ts[:, None, None])
+    key_t = jnp.moveaxis(key, 0, -1)                   # [B,keep,T]
+    chars_t = jnp.moveaxis(chars, 0, -1)
+    _, sorted_chars = jax.lax.sort((key_t, chars_t), dimension=-1, num_keys=1)
+    m = min(max_len, T)
+    pfx = sorted_chars[..., :m]
+    if max_len > T:
+        pfx = jnp.pad(pfx, ((0, 0), (0, 0), (0, max_len - T)),
+                      constant_values=-1)
+    pfx = jnp.where(jnp.arange(max_len) < plen[:, :, None], pfx, -1)
+    # ONE packed int16 result array: [B, keep·max_len + keep] = prefixes
+    # ‖ lens — chars (< V ≤ 32k), -1 pads and lens (≤ T) all fit int16,
+    # halving the pull bytes on a ~15 MB/s relay link; a second
+    # device→host pull per batch would be pure relay latency
+    packed = jnp.concatenate([pfx.reshape(B, keep * max_len), plen],
+                             axis=1).astype(jnp.int16)
+    return packed, final
 
 
-def _reconstruct(tb_parent, tb_char, order, max_len):
-    """Host traceback: [T,B,K] (parent, char) + final beam order ->
-    (pfx [B,K,max_len] int32, -1-padded, plen [B,K])."""
-    tb_parent = np.asarray(tb_parent)
-    tb_char = np.asarray(tb_char)
-    order = np.asarray(order)
-    T, B, K = tb_parent.shape
-    pfx = np.full((B, K, max_len), -1, np.int32)
-    plen = np.zeros((B, K), np.int32)
-    cur = order.copy()                                 # beam index at step T-1
-    rev = [[[] for _ in range(K)] for _ in range(B)]
-    rows = np.arange(B)[:, None]
-    for t in range(T - 1, -1, -1):
-        ch = tb_char[t][rows, cur]                     # [B, K]
-        for b in range(B):
-            for k in range(K):
-                if ch[b, k] >= 0:
-                    rev[b][k].append(int(ch[b, k]))
-        cur = tb_parent[t][rows, cur]
-    for b in range(B):
-        for k in range(K):
-            ids = rev[b][k][::-1][:max_len]
-            pfx[b, k, : len(ids)] = ids
-            plen[b, k] = len(ids)
-    return pfx, plen
+@jax.jit
+def _stack_jit(*xs):
+    return jnp.stack(xs)
+
+
+def beam_decode_stream(batches, beam: int = 8, lm=None,
+                       alpha: float = 0.5, beta: float = 1.0,
+                       max_len: int | None = None, mesh=None,
+                       axis: str = "data", flush_every: int = 8):
+    """Pipelined beam decode over an iterable of (logits, lengths) pairs
+    — the bulk-decode path (dev-set eval, corpus transcription).
+
+    Per-batch synchronous decode is LATENCY-bound on a relay-attached
+    TPU: one device→host pull costs ~20 ms regardless of size, capping
+    ``beam_decode`` at ~1/latency batches/s however fast the kernel is.
+    This generator keeps up to ``flush_every`` batches in flight and
+    drains them with ONE stacked transfer per group, so the pull latency
+    amortizes across the group while dispatches pipeline on device.
+
+    Yields one list of per-utterance id-lists per input batch, in input
+    order (results for a group arrive when the group flushes). Batches
+    of differing [B,T,V] shapes are allowed — a shape change flushes the
+    current group (callers iterate per-bucket streams, so groups stay
+    full in practice).
+    """
+    pending: list = []                 # packed device arrays, same shape
+    pend_meta: tuple | None = None     # (B, eff_max_len)
+
+    def drain():
+        # jitted stack (cached per group size): a bare jnp.stack re-traces
+        # on every call — measured ~150 ms of host time per group at
+        # flush=8, 3× the group's entire device work
+        stacked = np.asarray(_stack_jit(*pending))    # ONE transfer
+        for row in stacked:
+            pfx, plen = _unpack(row, 1, pend_meta[1])
+            yield [list(pfx[b, 0, : plen[b, 0]]) for b in range(pend_meta[0])]
+        pending.clear()
+
+    for logits, lengths in batches:
+        B, T, V = logits.shape
+        eff = max_len or T
+        if pending and pend_meta != (B, eff):
+            yield from drain()
+        pend_meta = (B, eff)
+        packed, _final = _beam_call(logits, lengths, beam, eff, lm,
+                                    alpha, beta, mesh=mesh, axis=axis,
+                                    keep=1)
+        pending.append(packed)
+        if len(pending) >= flush_every:
+            yield from drain()
+    if pending:
+        yield from drain()
 
 
 def beam_decode_nbest(logits, lengths, beam: int = 8, lm=None,
                       alpha: float = 0.5, beta: float = 1.0,
-                      max_len: int | None = None):
-    """n-best variant: -> (pfx [B,K,max_len], plen [B,K], scores [B,K])."""
+                      max_len: int | None = None, mesh=None,
+                      axis: str = "data"):
+    """n-best variant: -> (pfx [B,K,max_len], plen [B,K], scores [B,K]).
+
+    Takes the same ``mesh`` as ``beam_decode`` so n-best decode also
+    splits rows over the DP mesh instead of serializing on one chip."""
     B, T, V = logits.shape
     max_len = max_len or T
-    tb_parent, tb_char, order, final = _beam_call(
-        logits, lengths, beam, max_len, lm, alpha, beta)
-    pfx, plen = _reconstruct(tb_parent, tb_char, order, max_len)
+    packed, final = _beam_call(
+        logits, lengths, beam, max_len, lm, alpha, beta,
+        mesh=mesh, axis=axis)
+    pfx, plen = _unpack(np.asarray(packed), beam, max_len)
     return pfx, plen, np.asarray(final)

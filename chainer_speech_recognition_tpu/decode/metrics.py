@@ -49,6 +49,39 @@ def edit_distance_py(hyp, ref) -> int:
     return int(prev[n])
 
 
+def _to_ids(seq) -> list[int]:
+    return [ord(c) for c in seq] if isinstance(seq, str) else list(seq)
+
+
+def edit_distance_batch(hyps, refs) -> np.ndarray:
+    """Distances for N (hyp, ref) pairs (strings or id sequences) →
+    int64[N]. Pads each side into one [N, S] int32 matrix and makes ONE
+    native call (native/csr_native.cpp::edit_distance_batch_i32); falls
+    back to the per-pair path when the C++ lib is unavailable."""
+    from ..utils.native import edit_distance_batch_native
+
+    hs = [_to_ids(h) for h in hyps]
+    rs = [_to_ids(r) for r in refs]
+    n = len(hs)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    sh = max(1, max(len(h) for h in hs))
+    sr = max(1, max(len(r) for r in rs))
+    hm = np.zeros((n, sh), np.int32)
+    rm = np.zeros((n, sr), np.int32)
+    for i, h in enumerate(hs):
+        hm[i, : len(h)] = h
+    for i, r in enumerate(rs):
+        rm[i, : len(r)] = r
+    hl = np.asarray([len(h) for h in hs], np.int32)
+    rl = np.asarray([len(r) for r in rs], np.int32)
+    out = edit_distance_batch_native(hm, hl, rm, rl)
+    if out is not None:
+        return out
+    return np.asarray([edit_distance_py(h, r) for h, r in zip(hs, rs)],
+                      np.int64)
+
+
 class CERAccumulator:
     """Streaming corpus-level character error rate."""
 
@@ -61,6 +94,12 @@ class CERAccumulator:
         self.edits += edit_distance(hyp, ref)
         self.ref_len += len(ref)
         self.num_utts += 1
+
+    def add_batch(self, hyps, refs) -> None:
+        """One native call for a whole eval batch of (hyp, ref) pairs."""
+        self.edits += int(edit_distance_batch(hyps, refs).sum())
+        self.ref_len += sum(len(r) for r in refs)
+        self.num_utts += len(refs)
 
     @property
     def cer(self) -> float:

@@ -98,6 +98,32 @@ def edit_distance_native(hyp, ref) -> int | None:
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(b)))
 
 
+def edit_distance_batch_native(hyps, hyp_lens, refs, ref_lens):
+    """Batched Levenshtein over padded id matrices.
+
+    hyps [N, Sh] / refs [N, Sr] int32 (row-padded, lengths in *_lens) →
+    int64[N] distances via ONE ctypes call per eval batch (the natural
+    amortization point for the C++ kernel), or None when the native lib
+    is unavailable — callers fall back to the per-pair path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(np.asarray(hyps, np.int32))
+    r = np.ascontiguousarray(np.asarray(refs, np.int32))
+    hl = _as_i32(hyp_lens)
+    rl = _as_i32(ref_lens)
+    n = h.shape[0]
+    out = np.empty(n, np.int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.edit_distance_batch_i32(
+        h.ctypes.data_as(i32), hl.ctypes.data_as(i32),
+        r.ctypes.data_as(i32), rl.ctypes.data_as(i32),
+        n, h.shape[1] if h.ndim > 1 else 0,
+        r.shape[1] if r.ndim > 1 else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
 def read_wav_native(path: str) -> tuple[np.ndarray, int] | None:
     """→ (float32 mono signal, sample rate), or None for anything the C++
     fast path doesn't handle (non-PCM16, multichannel) — callers fall back

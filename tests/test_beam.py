@@ -209,3 +209,24 @@ def test_to_dense_matches_score_recursion():
             np.testing.assert_allclose(dense[cid, ch], lm.score(ctx, ch),
                                        atol=1e-5, err_msg=f"{raw} {ch}")
     assert (dense[:, 0] == 0.0).all()
+
+
+def test_beam_stream_matches_per_batch():
+    """beam_decode_stream (grouped-pull bulk path) must yield exactly the
+    per-batch beam_decode results, across shape changes (flush-on-shape)
+    and a trailing partial group."""
+    from chainer_speech_recognition_tpu.decode.beam import beam_decode_stream
+
+    lm = (np.log(np.full((6, 6), 1.0 / 6, np.float32)), 2)
+    shapes = [(4, 12, 6)] * 3 + [(2, 9, 6)] * 2 + [(4, 12, 6)] * 2
+    batches = []
+    for i, (B, T, V) in enumerate(shapes):
+        lg = _logits(100 + i, B, T, V)
+        lens = np.full(B, T, np.int32)
+        lens[0] = T - 3
+        batches.append((jnp.asarray(lg), jnp.asarray(lens)))
+    want = [beam_decode(lg, ln, beam=4, lm=lm, alpha=0.3, beta=0.5)
+            for lg, ln in batches]
+    got = list(beam_decode_stream(iter(batches), beam=4, lm=lm,
+                                  alpha=0.3, beta=0.5, flush_every=2))
+    assert got == want

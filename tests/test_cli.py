@@ -132,6 +132,9 @@ def test_cli_end_to_end_mora_units(tmp_path, capsys):
     # greedy longest-match survives the save/load round trip
     assert vocab.decode(vocab.encode("きゃしゅ")) == "きゃしゅ"
 
+    from chainer_speech_recognition_tpu.cli import train_lm as train_lm_cli
+    train_lm_cli.main(["--data-dir", out, "--order", "2"])
+
     overrides = [
         "model.compute_dtype=float32",
         "optim.learning_rate=0.003", "optim.warmup_steps=20",
@@ -140,6 +143,12 @@ def test_cli_end_to_end_mora_units(tmp_path, capsys):
         "buckets.max_label_len=8",
         "train.total_steps=60", "train.log_every=20",
         "train.eval_every=50", "train.checkpoint_every=50",
+        # periodic dev eval also scores beam and beam+LM columns from the
+        # same forward pass (train.eval_beam / train.eval_lm, VERDICT r2
+        # next #6) — asserted on the metrics JSONL below
+        "train.eval_beam=4",
+        f"train.eval_lm={os.path.join(out, 'lm_2gram.arpa')}",
+        "train.eval_lm_alpha=0.3", "train.eval_lm_beta=0.5",
     ]
     train_cli.main(["--data-dir", out, "--preset", "tiny_conv",
                     "--ckpt-dir", ckpt,
@@ -150,6 +159,9 @@ def test_cli_end_to_end_mora_units(tmp_path, capsys):
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     evals = [m for m in metrics if m["kind"] == "eval"]
     assert evals and 0.0 <= evals[-1]["cer"] <= 2.0   # CER chain ran on mora
+    for row in evals:    # config-4 quality monitored during training
+        assert 0.0 <= row["cer_beam"] <= 2.0
+        assert 0.0 <= row["cer_beam_lm"] <= 2.0
 
     evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out])
     cer_line = [l for l in capsys.readouterr().out.splitlines()

@@ -58,3 +58,38 @@ def test_wav_native_malformed_returns_none(tmp_path):
     with open(path, "wb") as f:
         f.write(b"not a wav file at all, definitely not RIFF")
     assert read_wav_native(path) is None
+
+
+def test_edit_distance_batch_differential():
+    """Batched C++ kernel (ONE ctypes call per eval batch) vs per-pair
+    oracle, mixed lengths including empties, strings and id lists."""
+    from chainer_speech_recognition_tpu.decode.metrics import (
+        edit_distance_batch)
+
+    rng = np.random.default_rng(2)
+    hyps, refs = [], []
+    for _ in range(40):
+        hyps.append(list(rng.integers(1, 6, int(rng.integers(0, 30)))))
+        refs.append(list(rng.integers(1, 6, int(rng.integers(0, 30)))))
+    out = edit_distance_batch(hyps, refs)
+    want = [edit_distance_py(h, r) for h, r in zip(hyps, refs)]
+    np.testing.assert_array_equal(out, want)
+    # string inputs route through ord()
+    s = edit_distance_batch(["kitten", "こんにちは", ""],
+                            ["sitting", "こんばんは", "ab"])
+    np.testing.assert_array_equal(s, [3, 2, 2])
+
+
+def test_cer_accumulator_batch_matches_scalar():
+    from chainer_speech_recognition_tpu.decode.metrics import CERAccumulator
+
+    rng = np.random.default_rng(3)
+    pairs = [("".join(chr(97 + c) for c in rng.integers(0, 4, 12)),
+              "".join(chr(97 + c) for c in rng.integers(0, 4, 10)))
+             for _ in range(16)]
+    a, b = CERAccumulator(), CERAccumulator()
+    for h, r in pairs:
+        a.add(h, r)
+    b.add_batch([h for h, _ in pairs], [r for _, r in pairs])
+    assert (a.edits, a.ref_len, a.num_utts) == (b.edits, b.ref_len, b.num_utts)
+    assert a.cer == b.cer

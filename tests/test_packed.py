@@ -244,3 +244,27 @@ def test_finished_run_resumes_to_noop(tmp_path):
     assert int(s1.step) == 2 and int(s2.step) == 2
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_synthesize_packed_roundtrip(tmp_path):
+    """Direct-to-pack scale-corpus writer (data/synth_corpus.py): the
+    CSRPACK1 output must be a valid PackedCorpus whose stored label ids
+    equal vocab.encode(text), and the build must be idempotent."""
+    from chainer_speech_recognition_tpu.data.synth_corpus import (
+        synthesize_packed)
+    from chainer_speech_recognition_tpu.vocab import Vocab
+
+    prefix = str(tmp_path / "scale")
+    info = synthesize_packed(prefix, 6, vocab_size=12, max_samples=8000,
+                             min_labels=3, max_labels=5)
+    assert info["built"]
+    pc = PackedCorpus(prefix)
+    vocab = Vocab.load(prefix + ".vocab.txt")
+    assert len(pc) == 6
+    for i in range(6):
+        sig = pc.signal(i)
+        assert len(sig) <= 8000 and np.abs(sig).max() <= 1.0
+        np.testing.assert_array_equal(pc.label_ids(i),
+                                      vocab.encode(pc.texts[i]))
+    again = synthesize_packed(prefix, 6, vocab_size=12, max_samples=8000)
+    assert not again["built"] and again["bytes"] == info["bytes"]
