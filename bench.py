@@ -469,6 +469,52 @@ def main(argv=None):
         bdt = time.perf_counter() - t0
         return (B * n_rep / sdt / n_chips, B * n_rep / bdt / n_chips)
 
+    def bench_beam_hashed(beam=8, V_lm=200, T_lm=256, B_lm=32):
+        """Sparse-LM beam at the scale the dense table cannot reach
+        (VERDICT r2 next #5): order-4 / V=200 shallow fusion, where dense
+        would be V^3·V·4 = 6.4 GB. Builds a synthetic order-4 backoff LM
+        with ~120k known contexts (CSJ-scale kana LM density), converts
+        to the HashedLM open-addressing device repr, and measures the
+        same end-to-end stream decode as bench_beam_e2e."""
+        from chainer_speech_recognition_tpu.decode.beam import (
+            beam_decode_stream)
+        from chainer_speech_recognition_tpu.decode.lm import NGramLM
+
+        rng = np.random.default_rng(0)
+        lm = NGramLM(4, V_lm)
+        lm.logp[0][()] = {c: float(np.log(0.9 / (V_lm - 1)))
+                          for c in range(1, V_lm)}
+        for k in (1, 2, 3):
+            raw = rng.integers(1, V_lm, size=(60_000, k))
+            ctxs = {tuple(int(x) for x in row) for row in raw}
+            for ctx in list(ctxs)[:40_000]:
+                succ = rng.integers(1, V_lm, size=8)
+                lp = np.log(rng.dirichlet(np.ones(8)) * 0.7)
+                lm.logp[k][ctx] = {int(c): float(p)
+                                   for c, p in zip(succ, lp)}
+                lm.backoff[k][ctx] = float(np.log(0.3))
+        t0 = time.perf_counter()
+        h = lm.to_hashed()
+        build_s = time.perf_counter() - t0
+        lg = rng.standard_normal((B_lm, T_lm, V_lm)).astype(np.float32)
+        path = rng.integers(0, V_lm, (B_lm, T_lm))
+        np.put_along_axis(lg, path[..., None], 6.0, axis=2)
+        lg = jnp.asarray(lg)
+        ol = jnp.asarray(np.full(B_lm, T_lm, np.int32))
+        kw = dict(beam=beam, lm=h, alpha=0.5, beta=1.0, max_len=64)
+        n_rep = 24
+        for _ in beam_decode_stream(          # compile + warm both groups
+                ((lg, ol) for _ in range(8 + n_rep % 8 or 8)), **kw):
+            pass
+        t0 = time.perf_counter()
+        done = 0
+        for hs in beam_decode_stream(((lg, ol) for _ in range(n_rep)), **kw):
+            done += len(hs)
+        sdt = time.perf_counter() - t0
+        assert done == B_lm * n_rep
+        return (B_lm * n_rep / sdt / n_chips, h.bytes,
+                V_lm ** 3 * V_lm * 4, build_s)
+
     (ups_per_chip, decode_ups, mfu, flops_per_sec, last_loss,
      dt, ddt) = bench_device_resident(cfg, model)
     audio_sec = float(np.sum(batch["num_samples"])) / C.SAMPLE_RATE
@@ -496,6 +542,10 @@ def main(argv=None):
         b_stream, b_sync = bench_beam_e2e(cfg, model)
         extra["beam_e2e_utt_per_sec"] = round(b_stream, 1)
         extra["beam_sync_utt_per_sec"] = round(b_sync, 1)
+        bh_ups, bh_bytes, bh_dense, bh_build = bench_beam_hashed()
+        extra["beam_hashed_o4_v200_utt_per_sec"] = round(bh_ups, 1)
+        extra["lm_hashed_o4_v200_mb"] = round(bh_bytes / 2**20, 1)
+        extra["lm_dense_o4_v200_equiv_gb"] = round(bh_dense / 2**30, 2)
     headline = ups_per_chip
 
     def result_line():

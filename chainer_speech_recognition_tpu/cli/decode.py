@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--lm", default=None, help="ARPA n-gram LM for fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=1.0)
+    p.add_argument("--lm-repr", default="auto",
+                   choices=("auto", "dense", "hashed"),
+                   help="device LM representation: dense table, sparse "
+                        "hashed (scales to order>=4 / large V), or auto "
+                        "by table size")
     p.add_argument("--nbest", type=int, default=1,
                    help="with --beam: print the top-N hypotheses per wav "
                         "(tab-separated: path, rank, log-score, text)")
@@ -62,8 +67,9 @@ def main(argv=None):
 
     if args.beam > 0:
         from ..decode.beam import beam_decode, beam_decode_nbest
-        from ..decode.lm import NGramLM
+        from ..decode.lm import NGramLM, device_lm
         lm = NGramLM.from_arpa(args.lm, vocab) if args.lm else None
+        lm = device_lm(lm, args.lm_repr) if lm else None
         if args.nbest > 1:
             n = min(args.nbest, args.beam)
             pfx, plen, scores = beam_decode_nbest(

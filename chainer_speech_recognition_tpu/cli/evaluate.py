@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--lm", default=None, help="ARPA LM for shallow fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
     p.add_argument("--lm-beta", type=float, default=1.0)
+    p.add_argument("--lm-repr", default="auto",
+                   choices=("auto", "dense", "hashed"),
+                   help="device LM representation: dense table, sparse "
+                        "hashed (scales to order>=4 / large V), or auto "
+                        "by table size")
     p.add_argument("--compare", action="store_true",
                    help="score greedy, beam-K and beam-K+LM from ONE "
                         "forward pass and print the three-way CER table "
@@ -77,9 +82,9 @@ def main(argv=None):
     lm_dense = None
     if args.beam > 0:
         from ..decode.beam import beam_decode
-        from ..decode.lm import NGramLM
+        from ..decode.lm import NGramLM, device_lm
         lm = NGramLM.from_arpa(args.lm, vocab) if args.lm else None
-        lm_dense = lm.to_dense() if lm else None
+        lm_dense = device_lm(lm, args.lm_repr) if lm else None
 
         def decode_fn(logits, olens):
             # beam rows split over the mesh when one is active (all chips

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import BLANK_ID
-from .lm import NGramLM
+from .lm import HashedLM, NGramLM
 
 LOG_ZERO = -1.0e30
 # DOUBLE rolling hash: two independent (multiplier, modulus) pairs sorted
@@ -111,8 +111,10 @@ def beam_decode(logits, lengths, beam: int = 8, lm=None,
                 max_len: int | None = None, mesh=None, axis: str = "data"):
     """Batched on-device prefix beam. logits [B,T,V], lengths [B].
 
-    lm: None, an NGramLM (tensorized automatically), or a pre-built
-    (dense_table [C,V] np/jnp fp32, order) tuple.
+    lm: None, an NGramLM (dense-tensorized automatically), a pre-built
+    (dense_table [C,V] np/jnp fp32, order) tuple, or a HashedLM (sparse
+    open-addressing device repr — the scalable path for order ≥ 4 or
+    large V, where the dense V^(n-1)×V table no longer fits HBM).
 
     Exact (no candidate pruning): the structural merge keeps the full
     K·V extension grid, so results match beam_decode_reference wherever
@@ -168,6 +170,28 @@ def _lm_to_device(table) -> jnp.ndarray:
     return dev
 
 
+def _hashed_to_device(h: HashedLM):
+    """(hash table int32 [cap,2], resolved rows fp32 [R,V]) on device,
+    cached by HashedLM identity (same discipline as _lm_to_device)."""
+    key = id(h)
+    hit = _LM_DEV_CACHE.get(key)
+    if hit is not None and hit[0] is h:
+        return hit[1], hit[2]
+    if len(_LM_DEV_CACHE) > 8:
+        _LM_DEV_CACHE.clear()
+    t = jnp.asarray(h.table, jnp.int32)
+    r = jnp.asarray(h.rows, jnp.float32)
+    _LM_DEV_CACHE[key] = (h, t, r)
+    return t, r
+
+
+@functools.lru_cache(maxsize=8)
+def _dummy_rows(v: int) -> jnp.ndarray:
+    """Stable (cached) placeholder for the unused lm_rows operand on the
+    dense / no-LM paths — a fresh zeros() per call would re-upload."""
+    return jnp.zeros((1, v), jnp.float32)
+
+
 @functools.lru_cache(maxsize=64)
 def _ab_device(alpha: float, beta: float):
     """(α, β) as ONE cached device array: a fresh host→device transfer
@@ -197,50 +221,64 @@ def _beam_call(logits, lengths, beam, max_len, lm, alpha, beta,
     V = logits.shape[2]
     if isinstance(lm, NGramLM):
         lm = lm.to_dense()
-    if lm is not None:
+    hashed, probes = False, 0
+    if isinstance(lm, HashedLM):               # sparse open-addressing repr
+        lm_table, lm_rows = _hashed_to_device(lm)
+        lm_order, fuse = lm.order, True
+        hashed, probes = True, lm.max_probes
+    elif lm is not None:
         lm_table, lm_order, fuse = _lm_to_device(lm[0]), int(lm[1]), True
+        lm_rows = _dummy_rows(V)
     else:                       # no LM ⇒ no fusion score, no length bonus
-        lm_table, lm_order, fuse = jnp.zeros((1, V), jnp.float32), 1, False
+        lm_table, lm_order, fuse = _dummy_rows(V), 1, False
+        lm_rows = _dummy_rows(V)
         alpha = beta = 0.0
     ab = _ab_device(float(alpha), float(beta))     # cached device scalar pair
     if mesh is not None and mesh.devices.size > 1 \
             and logits.shape[0] % mesh.devices.size == 0:
-        fn = _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse, keep)
-        return fn(jnp.asarray(logits), jnp.asarray(lengths), lm_table, ab)
+        fn = _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse,
+                           hashed, probes, keep)
+        return fn(jnp.asarray(logits), jnp.asarray(lengths), lm_table,
+                  lm_rows, ab)
     return _beam_decode_jit(
         jnp.asarray(logits), jnp.asarray(lengths), beam, max_len,
-        lm_table, lm_order, fuse, ab, keep)
+        lm_table, lm_rows, lm_order, fuse, hashed, probes, ab, keep)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse, keep):
-    """shard_map-wrapped beam core: rows split over the mesh, LM table and
+def _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse, hashed,
+                  probes, keep):
+    """shard_map-wrapped beam core: rows split over the mesh, LM tables and
     fusion scalars replicated; tracebacks come back assembled global (the
     time axis of tb_* is axis 0, batch is axis 1)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(logits, lengths, lm_table, ab):
+    def local(logits, lengths, lm_table, lm_rows, ab):
         return _beam_decode_jit(logits, lengths, beam, max_len,
-                                lm_table, lm_order, fuse, ab, keep)
+                                lm_table, lm_rows, lm_order, fuse,
+                                hashed, probes, ab, keep)
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P()),
         out_specs=(P(axis), P(axis)),
         check_vma=False))
 
 
 @functools.partial(jax.jit, static_argnames=("beam", "max_len", "lm_order",
-                                              "fuse", "keep"))
-def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
-                     fuse, ab, keep=None):
+                                              "fuse", "hashed", "probes",
+                                              "keep"))
+def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_rows,
+                     lm_order, fuse, hashed, probes, ab, keep=None):
     keep = beam if keep is None else keep
     B, T, V = logits.shape
     K = beam
     alpha, beta = ab[0], ab[1]
     lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    C = lm_table.shape[0]
+    # context-id modulus: the beam rolls the LAST (order-1) chars as one
+    # int32 id — for the dense table this also equals lm_table.shape[0]
+    C = V ** (lm_order - 1)
 
     # beam state
     pb = jnp.full((B, K), LOG_ZERO, jnp.float32).at[:, 0].set(0.0)
@@ -275,7 +313,37 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_order,
         # fusion whenever an LM was passed (fuse is static; α/β are traced
         # scalars): a unigram LM with alpha=0, beta!=0 must still apply
         # the insertion bonus, matching beam_decode_reference
-        if fuse:
+        if fuse and hashed:
+            # sparse LM (decode/lm.py::HashedLM): find the resolved score
+            # row for the hypothesis context by probing the open-addressing
+            # hash LONGEST-SUFFIX-FIRST — level k key = ctx % V^k; the
+            # first level that hits owns the row (exactly score()'s backoff
+            # descent, which adds zero weight through unknown contexts).
+            # Unknown everywhere → rows[0] (empty context). All levels ×
+            # probe slots fold into ONE [B,K,L·P,2] gather (6 separate
+            # per-level gathers cost ~2× on TPU); priority = first hit in
+            # the longest-level-first flattened order via argmax-of-bool.
+            # Build guarantees every key lands within ``probes`` slots of
+            # its home slot, so the probe window is a static shape.
+            cap = lm_table.shape[0]                    # power of two
+            mask = jnp.uint32(cap - 1)
+            p_iota = jnp.arange(probes, dtype=jnp.uint32)
+            L = lm_order - 1
+            mods = jnp.asarray([V ** k for k in range(L, 0, -1)],
+                               jnp.int32)              # longest first
+            keys = ctx[..., None] % mods               # [B,K,L]
+            slot0 = (keys.astype(jnp.uint32) * jnp.uint32(2654435761)) & mask
+            slots = ((slot0[..., None] + p_iota) & mask) \
+                .astype(jnp.int32).reshape(*ctx.shape, L * probes)
+            tkv = lm_table[slots]                      # [B,K,L·P,2]
+            kk = jnp.repeat(keys, probes, axis=-1)     # [B,K,L·P]
+            hit = (tkv[..., 0] == kk) & (kk > 0)
+            first = jnp.argmax(hit, axis=-1)           # longest-level hit
+            oh = first[..., None] == jnp.arange(L * probes)
+            val = jnp.sum(jnp.where(oh, tkv[..., 1], 0), axis=-1)
+            ridx = jnp.where(jnp.any(hit, axis=-1), val, 0)
+            ext_pnb = ext_pnb + alpha * lm_rows[ridx] + beta
+        elif fuse:
             lm_row = lm_table[ctx]                     # [B,K,V]
             ext_pnb = ext_pnb + alpha * lm_row + beta
         ext_pnb = jnp.where(v_ids == 0, LOG_ZERO, ext_pnb)

@@ -1,14 +1,20 @@
 """Character n-gram language model for CTC shallow fusion (config 4,
 BASELINE.json:10; SURVEY.md §2.5 "n-gram LM shallow fusion").
 
-Two representations:
+Three representations:
 * host: backoff dict (ARPA-loadable, or trained from text with Katz-style
   absolute discounting) — used by the reference beam decoder (oracle);
-* device: dense ``[V^(order-1), V]`` log-prob table (``to_dense``) so the
+* device dense: ``[V^(order-1), V]`` log-prob table (``to_dense``) so the
   on-device beam keeps one int32 context id per hypothesis and scores every
   extension with a single gather — the "LM scores as a device-resident
   lookup" design of SURVEY.md §2.5. Practical for char-level kana vocabs
-  (V ≲ a few hundred, order ≤ 3).
+  (V ≲ a few hundred, order ≤ 3: 32 MB at V=200/order 3 but 6.4 GB at
+  order 4);
+* device sparse (``to_hashed`` → HashedLM): open-addressing context hash
+  + backoff-resolved score rows, sized by the n-grams the LM actually
+  contains — the scalable path for order ≥ 4 / larger V (VERDICT r2
+  next #5). Same int32 rolled context id, same scores (differentially
+  tested), ~MBs instead of GBs.
 
 Sentence-boundary conventions: contexts are char tuples over vocab ids;
 id 0 (<blank>) doubles as the begin-of-sentence context entry (blank never
@@ -208,3 +214,141 @@ class NGramLM:
             return ctx_id * 0
         C = V ** (order - 1)
         return (ctx_id * V + char) % C
+
+    # ---------------- sparse device tensorization ----------------
+    def to_hashed(self, max_order: int | None = None,
+                  max_probes: int = 8) -> "HashedLM":
+        """→ HashedLM: the scalable device representation (VERDICT r2
+        next #5).
+
+        The dense ``to_dense`` table is [V^(n-1), V] — 32 MB at V=200 /
+        order 3 but 6.4 GB at order 4: impossible HBM-resident. This
+        builds instead:
+
+        * ``rows`` [R, V] fp32 — one fully BACKOFF-RESOLVED score row per
+          KNOWN context (a context with explicit probs or a backoff
+          weight, at any level), rows[0] = the empty-context row. R
+          scales with the n-grams the LM actually contains, not V^(n-1).
+        * ``table`` [cap, 2] int32 — open-addressing (linear probe) hash
+          from the context's NUMERIC id (Σ ctx[i]·V^(k-1-i), oldest char
+          highest stride — exactly the id the beam rolls) to its row.
+
+        Exactness: for a known context, rows[ctx][ch] == score(ctx, ch)
+        by construction. For an UNKNOWN context, score() descends through
+        suffixes adding zero backoff until it reaches a known one, so its
+        resolved row EQUALS the longest known suffix's row — which is
+        what the device probe (longest-suffix-first, levels n-1..1, then
+        rows[0]) returns. A BOS-partial context (fewer than n-1 chars so
+        far) has leading zero digits, making its numeric id equal the
+        shorter context's id — the hash key collision IS the semantic
+        identity, so one level-untagged table suffices.
+
+        Build guarantees every key is found within ``max_probes`` slots
+        (capacity doubles until the max displacement fits), so the device
+        probe loop is a static unroll. Requires V^order < 2^31 (same
+        int32 context-rolling bound as the dense path).
+        """
+        n = min(self.order, max_order or self.order)
+        V = self.V
+        if V ** n >= 2 ** 31:
+            raise ValueError(
+                f"V^order = {V}^{n} overflows int32 context rolling")
+        # resolved row for the empty context: uniform floor + unigrams
+        r0 = np.full((V,), math.log(1.0 / V), np.float32)
+        for ch, lp in self.logp[0].get((), {}).items():
+            r0[ch] = lp
+        rows = [r0]
+        rowmap: dict[tuple, int] = {(): 0}
+        # ascending levels: a context's base row (its longest known
+        # suffix, via score()'s zero-backoff descent) is already built
+        for k in range(1, n):
+            known = set(self.logp[k].keys())
+            known.update(c for c, b in self.backoff[k].items()
+                         if len(c) == k and b)
+            for ctx in sorted(known):
+                if len(ctx) != k:
+                    continue
+                base = ()
+                for j in range(1, k):       # longest known proper suffix
+                    if ctx[j:] in rowmap:
+                        base = ctx[j:]
+                        break
+                row = rows[rowmap[base]].copy()
+                row += np.float32(self.backoff[k].get(ctx, 0.0))
+                for ch, lp in self.logp[k].get(ctx, {}).items():
+                    row[ch] = lp
+                rowmap[ctx] = len(rows)
+                rows.append(row)
+        rows_arr = np.stack(rows)
+        rows_arr[:, 0] = 0.0     # blank: no LM cost (CTC blank ≠ a word)
+        # numeric ids; leading-zero equivalence can't collide: context
+        # digits are real vocab ids (≥ 1), so distinct tuples map to
+        # distinct ids
+        ids = np.asarray(
+            [sum(c * V ** (len(ctx) - 1 - i) for i, c in enumerate(ctx))
+             for ctx in rowmap], np.int64)
+        ridx = np.asarray(list(rowmap.values()), np.int32)
+        keep = ids > 0           # () probes nothing; id 0 IS rows[0]
+        ids, ridx = ids[keep], ridx[keep]
+        cap = 1 << max(4, int(np.ceil(np.log2(max(2 * len(ids), 2)))))
+        while True:
+            table = np.full((cap, 2), -1, np.int32)
+            ok = True
+            for key, r in zip(ids, ridx):
+                # == uint32-wraparound hash & (cap-1): cap divides 2^32
+                slot = int(key) * 2654435761 % cap
+                for p in range(max_probes):
+                    s = (slot + p) % cap
+                    if table[s, 0] == -1:
+                        table[s] = (key, r)
+                        break
+                else:
+                    ok = False
+                    break
+            if ok:
+                break
+            cap *= 2
+        return HashedLM(table=table, rows=rows_arr, order=n,
+                        max_probes=max_probes)
+
+
+def device_lm(lm: NGramLM, repr: str = "auto",
+              dense_budget_bytes: int = 256 << 20):
+    """Pick the device representation for shallow fusion.
+
+    ``auto`` uses the dense [V^(n-1), V] table while it fits the budget
+    (a single gather per step — fastest) and falls back to the sparse
+    HashedLM beyond it (order ≥ 4 / large V, where dense is GBs). The
+    returned object plugs straight into beam_decode's ``lm=``.
+    """
+    if repr == "dense":
+        return lm.to_dense()
+    if repr == "hashed":
+        return lm.to_hashed()
+    if repr != "auto":
+        raise ValueError(f"unknown LM repr {repr!r}")
+    dense_bytes = lm.V ** (lm.order - 1) * lm.V * 4
+    if dense_bytes <= dense_budget_bytes:
+        return lm.to_dense()
+    return lm.to_hashed()
+
+
+class HashedLM:
+    """Sparse device n-gram: open-addressing context hash + resolved rows
+    (see NGramLM.to_hashed). ``bytes`` property reports device residency;
+    scoring semantics are exactly NGramLM.score (differential-tested)."""
+
+    def __init__(self, table: np.ndarray, rows: np.ndarray, order: int,
+                 max_probes: int = 8):
+        self.table = table
+        self.rows = rows
+        self.order = order
+        self.max_probes = max_probes
+
+    @property
+    def vocab_size(self) -> int:
+        return self.rows.shape[1]
+
+    @property
+    def bytes(self) -> int:
+        return self.table.nbytes + self.rows.nbytes

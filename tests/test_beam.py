@@ -211,6 +211,91 @@ def test_to_dense_matches_score_recursion():
     assert (dense[:, 0] == 0.0).all()
 
 
+def test_hashed_lm_matches_score_recursion():
+    """HashedLM resolved rows + longest-suffix probe must equal score()
+    for every (context, char), including unknown and BOS-partial contexts
+    — the exactness claim of NGramLM.to_hashed, at order 4."""
+    vocab = Vocab.build(["あいう", "ういあ", "あいあ", "うあい"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 9 + ["ういあ"] * 4 + ["あいあ"] * 2
+                       + ["うあい"] * 3, vocab, order=4)
+    h = lm.to_hashed()
+    V = len(vocab)
+    assert h.order == 4 and h.rows.shape[1] == V
+    assert h.bytes < 64 * 1024          # vs dense V^3·V·4 = 16 KB at V=4...
+    # host replica of the device probe (same hash, same level order)
+    cap = h.table.shape[0]
+
+    def probe_row(ctx_tuple):
+        cid = 0
+        for c in ctx_tuple[-(h.order - 1):]:
+            cid = cid * V + c
+        for k in range(h.order - 1, 0, -1):
+            key = cid % V ** k
+            if key <= 0:
+                continue
+            slot = int(key) * 2654435761 % cap
+            for p in range(h.max_probes):
+                s = (slot + p) % cap
+                if h.table[s, 0] == key:
+                    return h.rows[h.table[s, 1]]
+        return h.rows[0]
+
+    rng = np.random.default_rng(5)
+    ctxs = [(), (1,), (2, 1), (1, 2, 3), (3, 3, 3), (2, 2), (3, 1, 2)]
+    ctxs += [tuple(int(x) for x in rng.integers(1, V, rng.integers(0, 4)))
+             for _ in range(40)]
+    for ctx in ctxs:
+        row = probe_row(ctx)
+        for ch in range(1, V):
+            np.testing.assert_allclose(
+                row[ch], lm.score(ctx, ch), atol=1e-5,
+                err_msg=f"ctx={ctx} ch={ch}")
+        assert row[0] == 0.0
+
+
+def test_hashed_beam_matches_dense_and_reference():
+    """Device beam with the sparse HashedLM == dense-table beam == host
+    reference, at order 4 (beyond the dense table's practical range at
+    production V — checked here at small V where dense is still buildable)."""
+    vocab = Vocab.build(["あいう", "ういあ", "あいあ", "うあい"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 9 + ["ういあ"] * 4 + ["あいあ"] * 2
+                       + ["うあい"] * 3, vocab, order=4)
+    h = lm.to_hashed()
+    V = len(vocab)
+    B, T = 4, 16
+    logits = _logits(31, B, T, V, scale=1.5)
+    lens = np.asarray([16, 13, 10, 7])
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    dev_h = beam_decode(logits, lens, beam=8, lm=h, alpha=0.6, beta=0.4)
+    dev_d = beam_decode(logits, lens, beam=8, lm=lm, alpha=0.6, beta=0.4)
+    assert dev_h == dev_d
+    for b in range(B):
+        ref = beam_decode_reference(lp[b], lens[b], beam=8, lm=lm,
+                                    alpha=0.6, beta=0.4)
+        assert [int(x) for x in dev_h[b]] == ref, b
+
+
+def test_hashed_beam_sharded_matches_single_device():
+    """HashedLM under the DP mesh (tables replicated, rows split) must
+    equal the single-device hashed decode."""
+    from chainer_speech_recognition_tpu.config import ParallelConfig
+    from chainer_speech_recognition_tpu.parallel.mesh import make_mesh
+
+    vocab = Vocab.build(["あいう", "ういあ", "あいあ"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 9 + ["ういあ"] * 4, vocab, order=3)
+    h = lm.to_hashed()
+    V = len(vocab)
+    B, T = 8, 12
+    logits = _logits(77, B, T, V, scale=1.5)
+    lens = np.full(B, T, np.int32)
+    lens[::3] = T - 4
+    mesh = make_mesh(ParallelConfig(num_devices=8))
+    got = beam_decode(logits, lens, beam=4, lm=h, alpha=0.5, beta=0.3,
+                      mesh=mesh)
+    want = beam_decode(logits, lens, beam=4, lm=h, alpha=0.5, beta=0.3)
+    assert got == want
+
+
 def test_beam_stream_matches_per_batch():
     """beam_decode_stream (grouped-pull bulk path) must yield exactly the
     per-batch beam_decode results, across shape changes (flush-on-shape)
