@@ -29,6 +29,12 @@ def main(argv=None):
                    help="with --cache-features: skip utterance CMVN")
     p.add_argument("--unit", default="char", choices=["char", "mora"],
                    help="label unit segmenter (vocab.py SEGMENTERS)")
+    p.add_argument("--vocab", default=None,
+                   help="REUSE an existing vocab.txt instead of building "
+                        "one from this corpus — required when preparing an "
+                        "eval set for an already-trained model (a rebuilt "
+                        "vocab may assign different ids or miss units, "
+                        "silently corrupting CER)")
     p.add_argument("--format", default="pairs", choices=["pairs", "kaldi"],
                    help="corpus layout: wav+txt sibling pairs (default) or "
                         "Kaldi-style wav.scp + text (+ optional segments) "
@@ -87,7 +93,11 @@ def main(argv=None):
     save_index(os.path.join(args.out, "train_index.jsonl"), tr)
     if dev:
         save_index(os.path.join(args.out, "dev_index.jsonl"), dev)
-    vocab = build_vocab(utts, unit=args.unit)
+    if args.vocab:
+        from ..vocab import Vocab
+        vocab = Vocab.load(args.vocab)
+    else:
+        vocab = build_vocab(utts, unit=args.unit)
     vocab.save(os.path.join(args.out, "vocab.txt"))
     print(f"indexed {len(tr)} train / {len(dev)} dev utterances, "
           f"vocab size {len(vocab)}")

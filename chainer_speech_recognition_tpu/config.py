@@ -141,7 +141,14 @@ class TrainConfig:
                                 # resident. False = cache raw PCM.
     cache_dtype: str = "bfloat16"   # feature-cache storage dtype; the
                                 # first conv matmul is bf16 anyway under
-                                # the production compute dtype
+                                # the production compute dtype. NOTE:
+                                # evaluate/decode recompute fp32 features,
+                                # so bf16-cache training sees a small
+                                # train/inference feature-precision gap —
+                                # bounded by test_feature_cache_mode_
+                                # matches_recompute and covered by the
+                                # parity gates, which train THROUGH this
+                                # default path (PARITY.md §3)
     steps_per_dispatch: int = 8  # device_cache mode: K steps per host
                                 # dispatch (lax.scan inside the jit) —
                                 # amortizes per-dispatch host latency;

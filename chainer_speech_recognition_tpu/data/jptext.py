@@ -28,7 +28,14 @@ _DROP_CONTENT = {"F", "D", "D2", "L", "笑", "泣", "咳"}
 
 # a drop-tag word glued to its content with no separating space, e.g.
 # "(D2それ)" or the bare "(笑)" — matched inside the bare-parenthetical
-# branch of _strip_tags so annotation characters never leak into labels
+# branch of _strip_tags so annotation characters never leak into labels.
+# KNOWN FALSE-POSITIVE CLASS (accepted heuristic for CSJ-style kana
+# transcripts): a legitimate bare parenthetical whose content merely
+# STARTS with a drop-tag character followed by a non-alphanumeric — e.g.
+# "(笑い声が…)" or "(Dで始まる…)" — is deleted whole. Real CSJ kana
+# annotation never produces such content-bearing bare parentheses, but
+# corpora with free-form parenthetical prose should pre-clean them or
+# skip --normalize-text.
 _GLUED_DROP_TAG = re.compile(r"(?:F|D2|D|L|笑|泣|咳)(?![A-Za-z0-9])")
 
 _ANGLE = re.compile(r"<[^<>]*>")

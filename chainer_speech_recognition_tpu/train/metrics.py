@@ -10,10 +10,18 @@ import time
 
 
 class MetricsLogger:
-    def __init__(self, path: str | None = None, stream=sys.stdout):
+    def __init__(self, path: str | None = None, stream=None):
         self.f = open(path, "a", buffering=1) if path else None
-        self.stream = stream
+        # stream=None follows sys.stdout DYNAMICALLY: a default bound at
+        # class-definition time pins whatever sys.stdout was at first
+        # import (e.g. a since-closed pytest capture), and every later
+        # logger writes into a dead stream
+        self._stream = stream
         self._t0 = time.perf_counter()
+
+    @property
+    def stream(self):
+        return self._stream if self._stream is not None else sys.stdout
 
     def log(self, kind: str, **fields) -> None:
         rec = {"kind": kind, "t": round(time.perf_counter() - self._t0, 3),
