@@ -12,6 +12,7 @@ import itertools
 from collections import defaultdict
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -275,6 +276,7 @@ def test_hashed_beam_matches_dense_and_reference():
         assert [int(x) for x in dev_h[b]] == ref, b
 
 
+@pytest.mark.slow
 def test_hashed_beam_sharded_matches_single_device():
     """HashedLM under the DP mesh (tables replicated, rows split) must
     equal the single-device hashed decode."""

@@ -42,6 +42,7 @@ def test_pallas_loss_and_grad_vs_golden(seed):
     np.testing.assert_allclose(grad_p, grad_g, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_vs_jnp_scan_big():
     """Larger shapes (lane padding exercised: S=49 → 128)."""
     logits, tl, ll, labels = _case(seed=3, B=11, T=50, V=30, L=24)
@@ -57,6 +58,7 @@ def test_pallas_vs_jnp_scan_big():
     np.testing.assert_allclose(gp, gj, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_multi_lane_tile_S():
     """S > 128 exercises multi-lane-tile shifts/rolls (CSJ-scale labels).
     Verified bitwise-equal losses on real TPU at Sp=256/384 as well."""

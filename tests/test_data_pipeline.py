@@ -132,7 +132,7 @@ def test_wav_resample_and_stereo_downmix(tmp_path):
     """Non-16 kHz and stereo inputs are normalized on read (r1 item 10)."""
     from chainer_speech_recognition_tpu.utils.wav import resample_sinc
     sr_in = 22050
-    t = np.arange(int(sr_in * 0.25)) / sr_in
+    t = np.arange(int(sr_in * 0.12)) / sr_in
     tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
     p = str(tmp_path / "hi.wav")
     write_wav(p, tone, sample_rate=sr_in)

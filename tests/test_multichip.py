@@ -68,6 +68,7 @@ def test_pallas_stack_under_mesh_matches_reference_stack():
                                    atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_device():
     """make_sharded_eval_step over the 8-device mesh must reproduce the
     single-device eval step exactly — per-utt losses, logits and lengths
@@ -107,6 +108,7 @@ def test_sharded_eval_matches_single_device():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o8))
 
 
+@pytest.mark.slow
 def test_sharded_beam_matches_single_device():
     """beam_decode(mesh=...) splits rows over the 8-device mesh — results
     must be identical to the single-device beam, with and without LM."""

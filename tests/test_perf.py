@@ -346,3 +346,41 @@ def test_beam_e2e_throughput():
     assert done == B * iters
     floor = FLOOR["beam_e2e_utt_per_sec"]
     assert ups >= MARGIN * floor, f"beam e2e {ups:.0f} utt/s < {MARGIN}x {floor}"
+
+
+def test_beam_hashed_lm_throughput():
+    """Guards the sparse-LM beam (HashedLM in-scan probe) at the scale
+    the dense table cannot reach: order-4 / V=200 fusion, end-to-end
+    stream decode. A probe-path regression (e.g. falling back to
+    per-level gathers, measured 2.5x slower) fails here."""
+    from chainer_speech_recognition_tpu.decode.beam import beam_decode_stream
+    from chainer_speech_recognition_tpu.decode.lm import NGramLM
+
+    B, T, V, iters = 32, 256, 200, 24
+    rng = np.random.default_rng(0)
+    lm = NGramLM(4, V)
+    lm.logp[0][()] = {c: float(np.log(0.9 / (V - 1))) for c in range(1, V)}
+    for k in (1, 2, 3):
+        raw = rng.integers(1, V, size=(30_000, k))
+        ctxs = {tuple(int(x) for x in row) for row in raw}
+        for ctx in list(ctxs)[:20_000]:
+            succ = rng.integers(1, V, size=8)
+            lp = np.log(rng.dirichlet(np.ones(8)) * 0.7)
+            lm.logp[k][ctx] = {int(c): float(p) for c, p in zip(succ, lp)}
+            lm.backoff[k][ctx] = float(np.log(0.3))
+    h = lm.to_hashed()
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.full((B,), T, jnp.int32)
+    kw = dict(beam=8, lm=h, alpha=0.5, beta=1.0, max_len=64)
+    for _ in beam_decode_stream(((logits, lens) for _ in range(8)), **kw):
+        pass                                       # compile + warm
+    t0 = time.perf_counter()
+    done = 0
+    for hs in beam_decode_stream(((logits, lens) for _ in range(iters)),
+                                 **kw):
+        done += len(hs)
+    ups = B * iters / (time.perf_counter() - t0)
+    assert done == B * iters
+    floor = FLOOR["beam_hashed_o4_v200_utt_per_sec"]
+    assert ups >= MARGIN * floor, \
+        f"hashed beam {ups:.0f} utt/s < {MARGIN}x {floor}"

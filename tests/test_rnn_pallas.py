@@ -32,6 +32,7 @@ def test_pallas_birnn_matches_scan(cell):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cell", ["gru", "lstm"])
 def test_pallas_birnn_grad_matches_scan(cell):
     x, lens = _data(seed=1, B=3, T=9, D=6)
