@@ -247,6 +247,22 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
     # step past the configured horizon)
     done = step >= cfg.train.total_steps
 
+    # graceful preemption (SURVEY.md §5.3 failure recovery): SIGTERM /
+    # SIGINT set a flag; the loop finishes the in-flight dispatch, writes
+    # a checkpoint at the current step (the loop-exit save below), and
+    # returns — so a preempted run resumes EXACTLY where it stopped
+    # instead of replaying up to checkpoint_every steps. Handlers are
+    # restored on exit; non-main threads (signal.signal raises) skip.
+    import signal as _signal
+    stop_sig: dict = {"num": None}
+    prev_handlers: dict = {}
+    for _s in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            prev_handlers[_s] = _signal.signal(
+                _s, lambda num, frame: stop_sig.__setitem__("num", num))
+        except ValueError:
+            pass
+
     def timed_step(bucket_id, *args):
         """One train dispatch (k_dispatch optimizer steps); the first hit of
         a bucket logs its compile time (SURVEY.md §7.5), steps 10-15 bracket
@@ -296,6 +312,9 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
             path = save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
                                    keep=cfg.train.keep_checkpoints)
             log.log("checkpoint", step=step, path=path)
+        if stop_sig["num"] is not None:
+            log.log("signal_stop", step=step, signum=int(stop_sig["num"]))
+            return True
         return step >= cfg.train.total_steps
 
     while not done:
@@ -377,6 +396,8 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                     break
         epoch += 1
 
+    for _s, _h in prev_handlers.items():
+        _signal.signal(_s, _h)
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
                     keep=cfg.train.keep_checkpoints)
     log.close()

@@ -77,3 +77,36 @@ def test_keep_last_n(tmp_path):
         save_checkpoint(cfg.train.checkpoint_dir, state, cfg, keep=2)
     kept = list_checkpoints(cfg.train.checkpoint_dir)
     assert kept == ["step_00000003.msgpack", "step_00000004.msgpack"]
+
+
+@pytest.mark.slow
+def test_resume_on_different_mesh_size(tmp_path):
+    """Elastic resume (SURVEY.md §5.3): a checkpoint from a 2-device run
+    restored into a 4-device mesh must continue training with (near-)
+    identical results — params carry no sharding, so the only difference
+    is psum reduction order (numeric noise). This is the config-5 rescale
+    story: grow/shrink the chip count between runs without conversion."""
+    cfg, model, state, batch = _setup(tmp_path)
+    cfg2 = cfg.override({"parallel.num_devices": 2})
+    cfg4 = cfg.override({"parallel.num_devices": 4})
+    mesh2, mesh4 = make_mesh(cfg2.parallel), make_mesh(cfg4.parallel)
+
+    # one step on the 2-device mesh, checkpoint
+    step2 = make_train_step(model, cfg2, mesh2)
+    s1, _ = step2(jax.tree.map(jnp.copy, state), shard_batch(mesh2, batch))
+    path = save_checkpoint(cfg2.train.checkpoint_dir, s1, cfg2)
+
+    # continue on 4 devices from the restored checkpoint...
+    template = jax.tree.map(jnp.zeros_like, s1)
+    restored = restore_checkpoint(path, template)
+    step4 = make_train_step(model, cfg4, mesh4)
+    s2_4, m4 = step4(jax.tree.map(jnp.copy, restored),
+                     shard_batch(mesh4, batch))
+    # ...and (reference) on the original 2 devices
+    s2_2, m2 = step2(jax.tree.map(jnp.copy, s1), shard_batch(mesh2, batch))
+
+    assert int(s2_4.step) == int(s2_2.step) == 2
+    assert abs(float(m4["loss"]) - float(m2["loss"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(s2_2.params), jax.tree.leaves(s2_4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
