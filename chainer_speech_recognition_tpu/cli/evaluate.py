@@ -18,7 +18,7 @@ from ..data.sampler import BatchLoader, BucketSampler
 from ..models.presets import build_model
 from ..train.checkpoint import latest_checkpoint, load_config, restore_checkpoint
 from ..parallel.mesh import make_mesh
-from ..train.loop import evaluate, evaluate_multi
+from ..train.loop import evaluate_multi
 from ..train.state import init_state
 from ..train.step import make_auto_eval
 from ..vocab import Vocab
@@ -57,6 +57,18 @@ def main(argv=None):
                         "forward pass and print the three-way CER table "
                         "(the config-4 comparison; requires --beam, LM "
                         "row needs --lm)")
+    p.add_argument("--hyp-out", default=None,
+                   help="write hypotheses (utt_id<TAB>text, index order) "
+                        "from the strongest configured decoder — the bulk "
+                        "corpus-transcription surface")
+    p.add_argument("--tune-lm", action="store_true",
+                   help="grid-search (alpha, beta) fusion weights over "
+                        "this set from ONE acoustic forward pass "
+                        "(logits kept device-resident; alpha/beta are "
+                        "traced so the whole grid costs one beam compile "
+                        "per bucket shape). Requires --beam and --lm.")
+    p.add_argument("--tune-alphas", default="0.0,0.25,0.5,0.75,1.0")
+    p.add_argument("--tune-betas", default="0.0,0.5,1.0,1.5,2.0")
     args = p.parse_args(argv)
 
     cfg, model, state, path = load_model_and_params(args.ckpt_dir)
@@ -97,6 +109,47 @@ def main(argv=None):
         print(f"warning: {sampler.num_dropped}/{len(utts)} utterances exceed "
               "the bucket boundaries / max_label_len and are NOT scored")
 
+    def write_hyps(sink):
+        with open(args.hyp_out, "w", encoding="utf-8") as f:
+            for i, text in sorted(sink):
+                f.write(f"{utts[i].utt_id}\t{text}\n")
+        print(f"wrote {len(sink)} hypotheses -> {args.hyp_out}")
+
+    if args.tune_lm:
+        if args.beam <= 0 or lm_dense is None:
+            raise SystemExit("--tune-lm requires --beam K and --lm")
+        from ..decode.beam import beam_decode_stream
+        from ..decode.metrics import CERAccumulator
+        alphas = [float(x) for x in args.tune_alphas.split(",")]
+        betas = [float(x) for x in args.tune_betas.split(",")]
+        # ONE acoustic forward pass: store (logits, olens, refs) per batch,
+        # device-resident (a 2k-utt dev set at T'=384/V=200 is ~600 MB fp32
+        # — well inside HBM; chunk the index for anything larger)
+        stored = []
+        for bid, idxs, n_valid in sampler.eval_batches():
+            batch = loader.load(bid, idxs)
+            _, logits, olens = eval_fn(batch)
+            refs = [utts[int(idxs[i])].text for i in range(n_valid)]
+            stored.append((logits, olens, refs, n_valid))
+        print(f"checkpoint {path}")
+        best = None
+        for a in alphas:
+            for b in betas:
+                acc = CERAccumulator()
+                stream = beam_decode_stream(
+                    ((lg, ol) for lg, ol, _, _ in stored), beam=args.beam,
+                    lm=lm_dense, alpha=a, beta=b, mesh=mesh,
+                    axis=cfg.parallel.data_axis)
+                for (_, _, refs, n_valid), hyps in zip(stored, stream):
+                    acc.add_batch([vocab.decode(h) for h in hyps[:n_valid]],
+                                  refs)
+                print(f"alpha={a:<5g} beta={b:<5g} CER {acc.cer:.4f} "
+                      f"({acc.edits} edits)")
+                if best is None or acc.cer < best[0]:
+                    best = (acc.cer, a, b)
+        print(f"best: alpha={best[1]:g} beta={best[2]:g} CER {best[0]:.4f}")
+        return
+
     if args.compare:
         if args.beam <= 0:
             raise SystemExit("--compare requires --beam K")
@@ -109,20 +162,29 @@ def main(argv=None):
         }
         if lm_dense is not None:
             decoders[f"beam{args.beam}+lm"] = decode_fn
+        sink = [] if args.hyp_out else None
         accs, loss = evaluate_multi(eval_fn, loader, sampler.eval_batches(),
-                                    vocab, utts, decoders)
+                                    vocab, utts, decoders, sink=sink,
+                                    sink_decoder=list(decoders)[-1])
         print(f"checkpoint {path}")
         for name, acc in accs.items():
             print(f"CER[{name}] {acc.cer:.4f} | {acc.num_utts} utts "
                   f"| {acc.edits} edits / {acc.ref_len} ref chars")
         print(f"loss {loss:.4f}")
+        if sink is not None:
+            write_hyps(sink)
         return
 
-    acc, loss = evaluate(eval_fn, loader, sampler.eval_batches(), vocab,
-                         utts, decode_fn=decode_fn)
+    sink = [] if args.hyp_out else None
+    accs, loss = evaluate_multi(eval_fn, loader, sampler.eval_batches(),
+                                vocab, utts, {"_": decode_fn},
+                                sink=sink, sink_decoder="_")
+    acc = accs["_"]
     print(f"checkpoint {path}")
     print(f"CER {acc.cer:.4f} | loss {loss:.4f} | {acc.num_utts} utts "
           f"| {acc.edits} edits / {acc.ref_len} ref chars")
+    if sink is not None:
+        write_hyps(sink)
 
 
 if __name__ == "__main__":

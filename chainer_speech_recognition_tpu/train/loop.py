@@ -39,13 +39,16 @@ def _greedy_fn(logits, olens):
 
 
 def evaluate_multi(eval_step, loader: BatchLoader, batches, vocab: Vocab,
-                   utts, decoders: dict):
+                   utts, decoders: dict, sink: list | None = None,
+                   sink_decoder: str | None = None):
     """One forward pass per batch, scored by SEVERAL decoders at once
     (e.g. {"greedy": None, "beam8": fn, "beam8+lm": fn}) — the standard
     config-4 comparison without re-running the acoustic model per decoder.
 
     decoder value None = on-device greedy. Returns
-    ({name: CERAccumulator}, mean_loss).
+    ({name: CERAccumulator}, mean_loss). When ``sink`` is a list,
+    ``sink_decoder``'s hypotheses are appended as (utt_index, text)
+    pairs — the evaluate CLI's --hyp-out bulk-transcription surface.
     """
     accs = {name: CERAccumulator() for name in decoders}
     total_loss, n = 0.0, 0
@@ -60,8 +63,10 @@ def evaluate_multi(eval_step, loader: BatchLoader, batches, vocab: Vocab,
             # ONE native edit-distance call per (decoder, batch) — the
             # C++ batch kernel (native/csr_native.cpp) amortizes ctypes
             # overhead across the whole eval batch
-            accs[name].add_batch([vocab.decode(h) for h in hyps[:n_valid]],
-                                 refs)
+            texts = [vocab.decode(h) for h in hyps[:n_valid]]
+            accs[name].add_batch(texts, refs)
+            if sink is not None and name == sink_decoder:
+                sink.extend((int(idxs[i]), t) for i, t in enumerate(texts))
         losses = np.asarray(losses)[:n_valid]
         # impossible CTC samples carry the -LOG_ZERO sentinel loss — drop
         # them from the mean exactly as train/step.py's valid mask does

@@ -94,16 +94,30 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert ranks == [1, 2, 3]
     assert scores == sorted(scores, reverse=True)   # best-first
 
-    # beam + LM through the CLI surface (config 4)
+    # beam + LM through the CLI surface (config 4), writing hypotheses
     from chainer_speech_recognition_tpu.cli import train_lm as train_lm_cli
     train_lm_cli.main(["--data-dir", out, "--order", "2"])
+    hyp_path = str(tmp_path / "hyps.tsv")
     evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
                        "--beam", "4", "--lm",
                        os.path.join(out, "lm_2gram.arpa"),
-                       "--lm-alpha", "0.3", "--lm-beta", "0.5"])
+                       "--lm-alpha", "0.3", "--lm-beta", "0.5",
+                       "--hyp-out", hyp_path])
     beam_line = [l for l in capsys.readouterr().out.splitlines()
                  if l.startswith("CER")][0]
     assert "CER" in beam_line
+    hyp_rows = [l.split("\t") for l in open(hyp_path, encoding="utf-8")]
+    assert len(hyp_rows) == 8 and all(len(r) == 2 for r in hyp_rows)
+
+    # (alpha, beta) grid search from one forward pass
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--beam", "4", "--lm",
+                       os.path.join(out, "lm_2gram.arpa"), "--tune-lm",
+                       "--tune-alphas", "0.0,0.5",
+                       "--tune-betas", "0.0,1.0"])
+    tune_out = capsys.readouterr().out.splitlines()
+    assert sum(1 for l in tune_out if l.startswith("alpha=")) == 4
+    assert any(l.startswith("best:") for l in tune_out)
 
 
 # mora units: きゃ/しゅ are multi-char symbols — the whole chain (vocab build,
