@@ -16,11 +16,13 @@ from .. import constants as C
 from ..decode.greedy import greedy_decode
 from ..frontend import select_frontend
 from ..utils.wav import read_wav
+from ..utils.runtime import respect_jax_platforms
 from ..vocab import Vocab
 from .evaluate import load_model_and_params
 
 
 def main(argv=None):
+    respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--vocab", required=True, help="vocab.txt path")
@@ -37,6 +39,10 @@ def main(argv=None):
     p.add_argument("--nbest", type=int, default=1,
                    help="with --beam: print the top-N hypotheses per wav "
                         "(tab-separated: path, rank, log-score, text)")
+    p.add_argument("--batch", type=int, default=32,
+                   help="wavs per device batch: long wav lists are decoded "
+                        "in length-sorted chunks (bounded memory + padding "
+                        "waste) and printed in input order")
     p.add_argument("wavs", nargs="+")
     args = p.parse_args(argv)
 
@@ -51,44 +57,70 @@ def main(argv=None):
     cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
     vocab = Vocab.load(args.vocab)
 
-    sigs = [read_wav(w) for w in args.wavs]
-    n_max = max(len(s) for s in sigs)
-    B = len(sigs)
-    signals = np.zeros((B, n_max), np.float32)
-    lens = np.zeros(B, np.int32)
-    for i, s in enumerate(sigs):
-        signals[i, : len(s)] = s
-        lens[i] = len(s)
-
-    # same front-end implementation the checkpoint was trained with
-    feats, flens = select_frontend(cfg.features)(
-        jnp.asarray(signals), jnp.asarray(lens), apply_cmvn=cfg.features.cmvn)
-    logits, olens = model.apply(state.params, feats, flens)
-
-    if args.beam > 0:
-        from ..decode.beam import beam_decode, beam_decode_nbest
+    lm = None
+    if args.beam > 0 and args.lm:
         from ..decode.lm import NGramLM, device_lm
-        lm = NGramLM.from_arpa(args.lm, vocab) if args.lm else None
-        lm = device_lm(lm, args.lm_repr) if lm else None
-        if args.nbest > 1:
+        lm = device_lm(NGramLM.from_arpa(args.lm, vocab), args.lm_repr)
+
+    sigs = [read_wav(w) for w in args.wavs]
+    B = len(sigs)
+    # long wav lists decode in length-sorted fixed-size chunks: bounded
+    # memory, bounded padding waste, and signal lengths quantized to 1 s
+    # so a 10k-wav corpus costs a handful of XLA compiles, not thousands.
+    # A single sub-batch invocation keeps its exact shape (no quantizing).
+    multi = B > args.batch
+    bs = args.batch if multi else B
+    order = sorted(range(B), key=lambda i: len(sigs[i])) if multi \
+        else list(range(B))
+    results: list = [None] * B
+
+    for start in range(0, B, bs):
+        chunk = order[start : start + bs]
+        pad = bs - len(chunk)
+        rows = chunk + [chunk[0]] * pad          # static batch shape
+        n_max = max(len(sigs[i]) for i in chunk)
+        if multi:
+            n_max = -(-n_max // C.SAMPLE_RATE) * C.SAMPLE_RATE
+        signals = np.zeros((bs, n_max), np.float32)
+        lens = np.zeros(bs, np.int32)
+        for r, i in enumerate(rows):
+            signals[r, : len(sigs[i])] = sigs[i]
+            lens[r] = len(sigs[i])
+
+        # same front-end implementation the checkpoint was trained with
+        feats, flens = select_frontend(cfg.features)(
+            jnp.asarray(signals), jnp.asarray(lens),
+            apply_cmvn=cfg.features.cmvn)
+        logits, olens = model.apply(state.params, feats, flens)
+
+        if args.beam > 0 and args.nbest > 1:
+            from ..decode.beam import beam_decode_nbest
             n = min(args.nbest, args.beam)
             pfx, plen, scores = beam_decode_nbest(
                 logits, olens, beam=args.beam, lm=lm,
                 alpha=args.lm_alpha, beta=args.lm_beta)
-            for i, w in enumerate(args.wavs):
-                for k in range(n):
-                    text = vocab.decode(pfx[i, k, : plen[i, k]])
-                    print(f"{w}\t{k + 1}\t{scores[i, k]:.3f}\t{text}")
-        else:
+            for r, i in enumerate(chunk):
+                results[i] = [(k + 1, float(scores[r, k]),
+                               vocab.decode(pfx[r, k, : plen[r, k]]))
+                              for k in range(n)]
+        elif args.beam > 0:
+            from ..decode.beam import beam_decode
             hyps = beam_decode(logits, olens, beam=args.beam, lm=lm,
                                alpha=args.lm_alpha, beta=args.lm_beta)
-            for w, h in zip(args.wavs, hyps):
-                print(f"{w}\t{vocab.decode(h)}")
-    else:
-        ids, out_lens = greedy_decode(logits, olens)
-        ids, out_lens = np.asarray(ids), np.asarray(out_lens)
-        for i, w in enumerate(args.wavs):
-            print(f"{w}\t{vocab.decode(ids[i, : out_lens[i]])}")
+            for r, i in enumerate(chunk):
+                results[i] = vocab.decode(hyps[r])
+        else:
+            ids, out_lens = greedy_decode(logits, olens)
+            ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+            for r, i in enumerate(chunk):
+                results[i] = vocab.decode(ids[r, : out_lens[r]])
+
+    for w, res in zip(args.wavs, results):       # input order
+        if isinstance(res, list):
+            for rank, score, text in res:
+                print(f"{w}\t{rank}\t{score:.3f}\t{text}")
+        else:
+            print(f"{w}\t{res}")
 
 
 if __name__ == "__main__":

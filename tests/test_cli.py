@@ -119,6 +119,16 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert sum(1 for l in tune_out if l.startswith("alpha=")) == 4
     assert any(l.startswith("best:") for l in tune_out)
 
+    # chunked many-wav decode: > --batch wavs run in length-sorted fixed
+    # chunks (1 s-quantized shapes) but print in INPUT order
+    wavs = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                  if f.endswith(".wav"))
+    decode_cli.main(["--ckpt-dir", ckpt,
+                     "--vocab", os.path.join(out, "vocab.txt"),
+                     "--batch", "16", *wavs])
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert [l.split("\t")[0] for l in lines] == wavs
+
 
 # mora units: きゃ/しゅ are multi-char symbols — the whole chain (vocab build,
 # greedy longest-match encode, pack, train, greedy decode, CER) must carry
