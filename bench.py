@@ -337,6 +337,11 @@ def main(argv=None):
     if args.backend == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+        # also pin the env var: utils.runtime.respect_jax_platforms treats
+        # an explicit JAX_PLATFORMS env as authoritative, and deployment
+        # images export JAX_PLATFORMS=<tpu-plugin> ambiently — without this
+        # the ambient var would undo the --backend cpu pin above.
+        os.environ["JAX_PLATFORMS"] = "cpu"
     from chainer_speech_recognition_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     import jax

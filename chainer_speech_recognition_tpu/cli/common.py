@@ -6,9 +6,11 @@ import argparse
 import json
 
 from ..config import Config, preset_config
+from ..utils.runtime import respect_jax_platforms
 
 
 def add_config_args(p: argparse.ArgumentParser) -> None:
+    respect_jax_platforms()  # every CLI: explicit JAX_PLATFORMS env wins
     p.add_argument("--config", help="path to config JSON")
     p.add_argument("--preset", default=None,
                    help="preset config: tiny_conv | bigru | bilstm_deep")

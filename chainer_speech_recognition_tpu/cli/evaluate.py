@@ -22,6 +22,7 @@ from ..train.loop import evaluate_multi
 from ..train.state import init_state
 from ..train.step import make_auto_eval
 from ..vocab import Vocab
+from ..utils.runtime import respect_jax_platforms
 
 
 def load_model_and_params(ckpt_dir: str):
@@ -39,6 +40,7 @@ def load_model_and_params(ckpt_dir: str):
 
 
 def main(argv=None):
+    respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--data-dir", required=True)

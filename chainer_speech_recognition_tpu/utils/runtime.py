@@ -11,9 +11,31 @@ from __future__ import annotations
 import os
 
 
+def respect_jax_platforms() -> None:
+    """Make an explicit ``JAX_PLATFORMS`` env var win over config pins.
+
+    Some deployment images register an out-of-process TPU plugin from
+    ``sitecustomize`` and pin ``jax.config.jax_platforms`` there — a config
+    pin silently overrides the user's env var, so ``JAX_PLATFORMS=cpu
+    train ...`` would still dial the TPU (and hang if its relay is down).
+    Every CLI entry point calls this before first backend use so the
+    documented env contract holds. No-op when the var is unset."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        import jax
+
+        cur = jax.config.jax_platforms or ""
+        # only act when the *selected* (first) platform differs — e.g. a
+        # pin of "axon,cpu" already honors JAX_PLATFORMS=axon, and keeping
+        # the cpu fallback in the list costs nothing.
+        if cur.split(",")[0] != env.split(",")[0]:
+            jax.config.update("jax_platforms", env)
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    respect_jax_platforms()
     if jax.default_backend() == "cpu":
         # XLA:CPU AOT cache entries embed host-feature pseudo-flags that the
         # loader mis-compares across processes ("prefer-no-scatter ... could
