@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("wavs", nargs="+")
     args = p.parse_args(argv)
 
+    if args.batch <= 0:
+        raise SystemExit("--batch must be >= 1")
     # --nbest only has meaning on the beam path (ADVICE r2): fail loudly
     # instead of silently printing greedy 1-best
     if args.nbest > 1 and args.beam <= 0:

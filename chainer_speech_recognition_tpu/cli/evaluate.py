@@ -132,24 +132,30 @@ def main(argv=None):
             batch = loader.load(bid, idxs)
             _, logits, olens = eval_fn(batch)
             refs = [utts[int(idxs[i])].text for i in range(n_valid)]
-            stored.append((logits, olens, refs, n_valid))
+            stored.append((logits, olens, refs, n_valid, idxs))
         print(f"checkpoint {path}")
-        best = None
+        best, best_sink = None, None
         for a in alphas:
             for b in betas:
                 acc = CERAccumulator()
+                sink = [] if args.hyp_out else None
                 stream = beam_decode_stream(
-                    ((lg, ol) for lg, ol, _, _ in stored), beam=args.beam,
+                    ((lg, ol) for lg, ol, _, _, _ in stored), beam=args.beam,
                     lm=lm_dense, alpha=a, beta=b, mesh=mesh,
                     axis=cfg.parallel.data_axis)
-                for (_, _, refs, n_valid), hyps in zip(stored, stream):
-                    acc.add_batch([vocab.decode(h) for h in hyps[:n_valid]],
-                                  refs)
+                for (_, _, refs, n_valid, idxs), hyps in zip(stored, stream):
+                    texts = [vocab.decode(h) for h in hyps[:n_valid]]
+                    acc.add_batch(texts, refs)
+                    if sink is not None:
+                        sink.extend((int(idxs[i]), t)
+                                    for i, t in enumerate(texts))
                 print(f"alpha={a:<5g} beta={b:<5g} CER {acc.cer:.4f} "
                       f"({acc.edits} edits)")
                 if best is None or acc.cer < best[0]:
-                    best = (acc.cer, a, b)
+                    best, best_sink = (acc.cer, a, b), sink
         print(f"best: alpha={best[1]:g} beta={best[2]:g} CER {best[0]:.4f}")
+        if best_sink is not None:
+            write_hyps(best_sink)    # the best grid point's transcripts
         return
 
     if args.compare:

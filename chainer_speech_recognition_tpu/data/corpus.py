@@ -13,6 +13,7 @@ import collections
 import dataclasses
 import json
 import os
+import sys
 import wave
 from dataclasses import dataclass
 

@@ -185,6 +185,23 @@ def _hashed_to_device(h: HashedLM):
     return t, r
 
 
+def _ngram_to_dense_cached(lm: NGramLM):
+    """Densify a raw NGramLM once per object, not once per beam_decode
+    call: beam_decode_stream / eval loops pass the same NGramLM for every
+    batch, and an uncached to_dense() would rebuild the [V^(n-1), V]
+    host table each time — a fresh id() that also defeats _lm_to_device's
+    upload cache (same discipline / same cache as the device arrays)."""
+    key = id(lm)
+    hit = _LM_DEV_CACHE.get(key)
+    if hit is not None and hit[0] is lm:
+        return hit[1]
+    if len(_LM_DEV_CACHE) > 8:
+        _LM_DEV_CACHE.clear()
+    dense = lm.to_dense()
+    _LM_DEV_CACHE[key] = (lm, dense)
+    return dense
+
+
 @functools.lru_cache(maxsize=8)
 def _dummy_rows(v: int) -> jnp.ndarray:
     """Stable (cached) placeholder for the unused lm_rows operand on the
@@ -219,8 +236,14 @@ def _beam_call(logits, lengths, beam, max_len, lm, alpha, beta,
     — a ~K× smaller transfer AND a ~K× smaller traceback sort."""
     keep = beam if keep is None else keep
     V = logits.shape[2]
+    # the result travels as ONE packed int16 array (token ids ‖ lengths):
+    # ids < V and lengths ≤ T must fit int16 or they'd wrap silently
+    if V > 32767 or logits.shape[1] > 32767:
+        raise ValueError(
+            f"beam decode packs results as int16: vocab size {V} and frame "
+            f"count {logits.shape[1]} must both be <= 32767")
     if isinstance(lm, NGramLM):
-        lm = lm.to_dense()
+        lm = _ngram_to_dense_cached(lm)
     hashed, probes = False, 0
     if isinstance(lm, HashedLM):               # sparse open-addressing repr
         lm_table, lm_rows = _hashed_to_device(lm)

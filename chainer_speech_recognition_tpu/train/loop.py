@@ -231,10 +231,14 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
 
         eval_decoders["beam"] = _beam_fn
         if cfg.train.eval_lm:
-            from ..decode.lm import NGramLM
-            lm_dense = NGramLM.from_arpa(cfg.train.eval_lm, vocab).to_dense()
+            from ..decode.lm import NGramLM, device_lm
+            # "auto" picks dense while the [V^(n-1), V] table is small and
+            # the sparse HashedLM beyond — an order-4 / large-V eval LM
+            # must not build a multi-GB dense table every periodic eval
+            eval_lm = device_lm(
+                NGramLM.from_arpa(cfg.train.eval_lm, vocab), "auto")
             eval_decoders["beam_lm"] = (
-                lambda lg, ol: _beam_fn(lg, ol, lm_dense,
+                lambda lg, ol: _beam_fn(lg, ol, eval_lm,
                                         cfg.train.eval_lm_alpha,
                                         cfg.train.eval_lm_beta))
 
@@ -322,87 +326,93 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
             return True
         return step >= cfg.train.total_steps
 
-    while not done:
-        batches = epoch_batches(epoch)
-        # exact resume: skip dispatches already consumed this epoch
-        # (each dispatch advances step by k_dispatch)
-        consumed = (step - k_dispatch * sum(
-            len(epoch_batches(e)) for e in range(epoch))) // k_dispatch
-        if consumed >= len(batches):
-            epoch += 1
-            continue
-        todo = batches[max(consumed, 0):]
+    try:
+        while not done:
+            batches = epoch_batches(epoch)
+            # exact resume: skip dispatches already consumed this epoch
+            # (each dispatch advances step by k_dispatch)
+            consumed = (step - k_dispatch * sum(
+                len(epoch_batches(e)) for e in range(epoch))) // k_dispatch
+            if consumed >= len(batches):
+                epoch += 1
+                continue
+            todo = batches[max(consumed, 0):]
 
-        if data_mode == "rotating":
-            import concurrent.futures
+            if data_mode == "rotating":
+                import concurrent.futures
 
-            from ..data.device_cache import rotating_dispatches
+                from ..data.device_cache import rotating_dispatches
 
-            sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
-                                   cfg.parallel.data_axis)
-            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-            try:
-                # window w+1 assembles + transfers while w trains (the
-                # shared double-buffer discipline, data/device_cache.py)
-                for bucket_id, slots in rotating_dispatches(
-                        corpus_cache, epoch, todo, pool):
-                    m = timed_step(bucket_id, bucket_id,
-                                   jax.device_put(slots, sh))
+                sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
+                                       cfg.parallel.data_axis)
+                pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+                try:
+                    # window w+1 assembles + transfers while w trains (the
+                    # shared double-buffer discipline, data/device_cache.py)
+                    for bucket_id, slots in rotating_dispatches(
+                            corpus_cache, epoch, todo, pool):
+                        m = timed_step(bucket_id, bucket_id,
+                                       jax.device_put(slots, sh))
+                        if bookkeep(m, bucket_id,
+                                    sampler.shapes[bucket_id].batch_size
+                                    * k_dispatch):
+                            done = True
+                            break
+                finally:
+                    pool.shutdown(wait=False, cancel_futures=True)
+            elif data_mode == "device_cache":
+                # steady state sends ONLY the slot-id vector per dispatch;
+                # lookahead-1 so its (tiny) transfer overlaps step k's compute
+                sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
+                                       cfg.parallel.data_axis)
+                it = iter(todo)
+                pending = next(it, None)
+                pending_dev = (jax.device_put(pending[1], sh)
+                               if pending is not None else None)
+                while pending is not None:
+                    bucket_id, idx_dev = pending[0], pending_dev
+                    m = timed_step(bucket_id, bucket_id, idx_dev)
+                    pending = next(it, None)
+                    if pending is not None:
+                        pending_dev = jax.device_put(pending[1], sh)
                     if bookkeep(m, bucket_id,
                                 sampler.shapes[bucket_id].batch_size
                                 * k_dispatch):
                         done = True
                         break
-            finally:
-                pool.shutdown(wait=False, cancel_futures=True)
-        elif data_mode == "device_cache":
-            # steady state sends ONLY the slot-id vector per dispatch;
-            # lookahead-1 so its (tiny) transfer overlaps step k's compute
-            sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
-                                   cfg.parallel.data_axis)
-            it = iter(todo)
-            pending = next(it, None)
-            pending_dev = (jax.device_put(pending[1], sh)
-                           if pending is not None else None)
-            while pending is not None:
-                bucket_id, idx_dev = pending[0], pending_dev
-                m = timed_step(bucket_id, bucket_id, idx_dev)
+            else:
+                # lookahead-1 device feeding: batch k+1's (async) host→device
+                # transfer is issued right after step k is dispatched, so the
+                # transfer overlaps step k's compute (SURVEY.md §2.2 Prefetcher)
+                it = iter(Prefetcher(loader, todo,
+                                     depth=cfg.train.prefetch_depth,
+                                     num_workers=cfg.train.loader_workers))
                 pending = next(it, None)
-                if pending is not None:
-                    pending_dev = jax.device_put(pending[1], sh)
-                if bookkeep(m, bucket_id,
-                            sampler.shapes[bucket_id].batch_size
-                            * k_dispatch):
-                    done = True
-                    break
-        else:
-            # lookahead-1 device feeding: batch k+1's (async) host→device
-            # transfer is issued right after step k is dispatched, so the
-            # transfer overlaps step k's compute (SURVEY.md §2.2 Prefetcher)
-            it = iter(Prefetcher(loader, todo,
-                                 depth=cfg.train.prefetch_depth,
-                                 num_workers=cfg.train.loader_workers))
-            pending = next(it, None)
-            pending_sharded = (shard_batch(
-                mesh, {k: v for k, v in pending.items() if k != "bucket_id"})
-                if pending is not None else None)
-            while pending is not None:
-                batch, sharded = pending, pending_sharded
-                bucket_id = batch["bucket_id"]
-                m = timed_step(bucket_id, sharded)
-                # issue batch k+1's async transfer while step k runs
-                pending = next(it, None)
-                if pending is not None:
-                    pending_sharded = shard_batch(
-                        mesh, {k: v for k, v in pending.items()
-                               if k != "bucket_id"})
-                if bookkeep(m, bucket_id, batch["labels"].shape[0]):
-                    done = True
-                    break
-        epoch += 1
+                pending_sharded = (shard_batch(
+                    mesh, {k: v for k, v in pending.items() if k != "bucket_id"})
+                    if pending is not None else None)
+                while pending is not None:
+                    batch, sharded = pending, pending_sharded
+                    bucket_id = batch["bucket_id"]
+                    m = timed_step(bucket_id, sharded)
+                    # issue batch k+1's async transfer while step k runs
+                    pending = next(it, None)
+                    if pending is not None:
+                        pending_sharded = shard_batch(
+                            mesh, {k: v for k, v in pending.items()
+                                   if k != "bucket_id"})
+                    if bookkeep(m, bucket_id, batch["labels"].shape[0]):
+                        done = True
+                        break
+            epoch += 1
 
-    for _s, _h in prev_handlers.items():
-        _signal.signal(_s, _h)
+    finally:
+        # restore handlers even when a step raises (XLA OOM, IO
+        # error) — leaking the stop-flag lambda would leave the
+        # host process uninterruptible (Ctrl-C would only set a
+        # dict entry in a dead frame)
+        for _s, _h in prev_handlers.items():
+            _signal.signal(_s, _h)
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
                     keep=cfg.train.keep_checkpoints)
     log.close()

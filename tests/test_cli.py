@@ -109,15 +109,20 @@ def test_cli_end_to_end(tmp_path, capsys):
     hyp_rows = [l.split("\t") for l in open(hyp_path, encoding="utf-8")]
     assert len(hyp_rows) == 8 and all(len(r) == 2 for r in hyp_rows)
 
-    # (alpha, beta) grid search from one forward pass
+    # (alpha, beta) grid search from one forward pass; --hyp-out writes
+    # the BEST grid point's transcripts (not silently dropped)
+    tune_hyp = str(tmp_path / "tune_hyps.tsv")
     evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
                        "--beam", "4", "--lm",
                        os.path.join(out, "lm_2gram.arpa"), "--tune-lm",
                        "--tune-alphas", "0.0,0.5",
-                       "--tune-betas", "0.0,1.0"])
+                       "--tune-betas", "0.0,1.0",
+                       "--hyp-out", tune_hyp])
     tune_out = capsys.readouterr().out.splitlines()
     assert sum(1 for l in tune_out if l.startswith("alpha=")) == 4
     assert any(l.startswith("best:") for l in tune_out)
+    tune_rows = [l.split("\t") for l in open(tune_hyp, encoding="utf-8")]
+    assert len(tune_rows) == 8 and all(len(r) == 2 for r in tune_rows)
 
     # chunked many-wav decode: > --batch wavs run in length-sorted fixed
     # chunks (1 s-quantized shapes) but print in INPUT order

@@ -105,6 +105,24 @@ def test_scan_segments(seg_corpus):
     assert utts[0].text == "こんにちは"
 
 
+def test_scan_skips_unreadable_recording(seg_corpus, capsys):
+    """A missing/corrupt wav listed in wav.scp must skip its segments with
+    a warning, not abort the whole corpus scan (ADVICE r2)."""
+    root, _ = seg_corpus
+    (root / "wav.scp").write_text(
+        "rec1 rec1.wav\nrec2 rec2.wav\nrec3 rec3.wav\n", encoding="utf-8")
+    (root / "rec3.wav").write_bytes(b"RIFFgarbage")  # corrupt header
+    with open(root / "segments", "a", encoding="utf-8") as f:
+        f.write("rec2_001 rec2 0.0 1.0\n"     # missing wav → OSError
+                "rec3_001 rec3 0.0 1.0\n")    # corrupt wav → wave.Error
+    with open(root / "text", "a", encoding="utf-8") as f:
+        f.write("rec2_001 これはない\nrec3_001 これもない\n")
+    utts = scan_kaldi_style(str(root))
+    assert [u.utt_id for u in utts] == ["rec1_001", "rec1_002", "rec1_003"]
+    err = capsys.readouterr().err
+    assert "rec2" in err and "rec3" in err
+
+
 def test_segments_through_pack_and_loader(seg_corpus, tmp_path):
     root, sig = seg_corpus
     utts = normalize_texts(scan_kaldi_style(str(root)))
