@@ -317,3 +317,11 @@ def test_beam_stream_matches_per_batch():
     got = list(beam_decode_stream(iter(batches), beam=4, lm=lm,
                                   alpha=0.3, beta=0.5, flush_every=2))
     assert got == want
+
+
+def test_beam_rejects_int16_overflow_shapes():
+    """Results travel as ONE packed int16 array — V or T beyond int16
+    range must fail loudly at trace time, not wrap silently."""
+    lg = jnp.zeros((1, 4, 40000), jnp.float32)
+    with pytest.raises(ValueError, match="int16"):
+        beam_decode(lg, np.array([4], np.int32), beam=2)
