@@ -76,8 +76,11 @@ def main(argv=None):
         else list(range(B))
     results: list = [None] * B
 
-    for start in range(0, B, bs):
-        chunk = order[start : start + bs]
+    chunks = [order[start : start + bs] for start in range(0, B, bs)]
+
+    def acoustic(chunk):
+        """chunk of wav indices → (logits, olens); async-dispatched, so
+        the streamed beam path below keeps several chunks in flight."""
         pad = bs - len(chunk)
         rows = chunk + [chunk[0]] * pad          # static batch shape
         n_max = max(len(sigs[i]) for i in chunk)
@@ -88,16 +91,17 @@ def main(argv=None):
         for r, i in enumerate(rows):
             signals[r, : len(sigs[i])] = sigs[i]
             lens[r] = len(sigs[i])
-
         # same front-end implementation the checkpoint was trained with
         feats, flens = select_frontend(cfg.features)(
             jnp.asarray(signals), jnp.asarray(lens),
             apply_cmvn=cfg.features.cmvn)
-        logits, olens = model.apply(state.params, feats, flens)
+        return model.apply(state.params, feats, flens)
 
-        if args.beam > 0 and args.nbest > 1:
-            from ..decode.beam import beam_decode_nbest
-            n = min(args.nbest, args.beam)
+    if args.beam > 0 and args.nbest > 1:
+        from ..decode.beam import beam_decode_nbest
+        n = min(args.nbest, args.beam)
+        for chunk in chunks:
+            logits, olens = acoustic(chunk)
             pfx, plen, scores = beam_decode_nbest(
                 logits, olens, beam=args.beam, lm=lm,
                 alpha=args.lm_alpha, beta=args.lm_beta)
@@ -105,13 +109,20 @@ def main(argv=None):
                 results[i] = [(k + 1, float(scores[r, k]),
                                vocab.decode(pfx[r, k, : plen[r, k]]))
                               for k in range(n)]
-        elif args.beam > 0:
-            from ..decode.beam import beam_decode
-            hyps = beam_decode(logits, olens, beam=args.beam, lm=lm,
-                               alpha=args.lm_alpha, beta=args.lm_beta)
+    elif args.beam > 0:
+        # streamed 1-best: the grouped-pull bulk path — device→host pull
+        # latency amortizes over flush_every chunks instead of one sync
+        # pull per chunk (see decode/beam.py beam_decode_stream)
+        from ..decode.beam import beam_decode_stream
+        stream = beam_decode_stream(
+            (acoustic(c) for c in chunks), beam=args.beam, lm=lm,
+            alpha=args.lm_alpha, beta=args.lm_beta)
+        for chunk, hyps in zip(chunks, stream):
             for r, i in enumerate(chunk):
                 results[i] = vocab.decode(hyps[r])
-        else:
+    else:
+        for chunk in chunks:
+            logits, olens = acoustic(chunk)
             ids, out_lens = greedy_decode(logits, olens)
             ids, out_lens = np.asarray(ids), np.asarray(out_lens)
             for r, i in enumerate(chunk):

@@ -21,9 +21,11 @@ import numpy as np
 from .. import constants as C
 from ..data.synthetic import ConfusableSynth, SymbolMarkov, make_utterance
 from ..utils.wav import write_wav
+from ..utils.runtime import respect_jax_platforms
 
 
 def main(argv=None):
+    respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True)
     p.add_argument("--style", choices=["tones", "confusable"],

@@ -12,9 +12,11 @@ from ..config import BucketConfig
 from ..data.buckets import padding_waste
 from ..data.corpus import (build_vocab, normalize_texts, save_index,
                            scan_corpus, scan_kaldi_style)
+from ..utils.runtime import respect_jax_platforms
 
 
 def main(argv=None):
+    respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--corpus", required=True, help="corpus root (wav+txt pairs)")
     p.add_argument("--out", required=True, help="output directory")

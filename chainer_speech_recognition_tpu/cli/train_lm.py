@@ -10,9 +10,11 @@ import os
 from ..data.corpus import load_index
 from ..decode.lm import NGramLM
 from ..vocab import Vocab
+from ..utils.runtime import respect_jax_platforms
 
 
 def main(argv=None):
+    respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-dir", required=True,
                    help="preprocess output dir (train_index.jsonl + vocab.txt)")

@@ -134,6 +134,14 @@ def test_cli_end_to_end(tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert [l.split("\t")[0] for l in lines] == wavs
 
+    # chunked BEAM decode runs through the streamed bulk path
+    # (beam_decode_stream) — same input-order contract
+    decode_cli.main(["--ckpt-dir", ckpt,
+                     "--vocab", os.path.join(out, "vocab.txt"),
+                     "--batch", "16", "--beam", "2", *wavs])
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert [l.split("\t")[0] for l in lines] == wavs
+
 
 # mora units: きゃ/しゅ are multi-char symbols — the whole chain (vocab build,
 # greedy longest-match encode, pack, train, greedy decode, CER) must carry
