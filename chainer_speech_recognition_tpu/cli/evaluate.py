@@ -44,7 +44,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--data-dir", required=True)
-    p.add_argument("--index", default="dev_index.jsonl")
+    p.add_argument("--index", default="dev_index.jsonl",
+                   help="index file(s) under --data-dir; comma-separated "
+                        "for multi-set eval (e.g. CSJ eval1/eval2/eval3) — "
+                        "one model load + shared bucket compiles, per-set "
+                        "CER rows")
     p.add_argument("--beam", type=int, default=0, help="beam width (0=greedy)")
     p.add_argument("--lm", default=None, help="ARPA LM for shallow fusion")
     p.add_argument("--lm-alpha", type=float, default=0.5)
@@ -75,10 +79,9 @@ def main(argv=None):
 
     cfg, model, state, path = load_model_and_params(args.ckpt_dir)
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.txt"))
-    utts = load_index(os.path.join(args.data_dir, args.index))
-
-    sampler = BucketSampler(utts, cfg.buckets, seed=0)
-    loader = BatchLoader(utts, vocab, cfg.buckets)
+    set_names = [s for s in args.index.split(",") if s]
+    if len(set_names) > 1 and args.tune_lm:
+        raise SystemExit("--tune-lm tunes on ONE set; pass a single --index")
 
     # shard eval over every available device when the static bucket batch
     # sizes split evenly (VERDICT r1 missing #3); else single-device
@@ -107,92 +110,101 @@ def main(argv=None):
                                alpha=args.lm_alpha, beta=args.lm_beta,
                                mesh=mesh, axis=cfg.parallel.data_axis)
 
-    if sampler.num_dropped:
-        print(f"warning: {sampler.num_dropped}/{len(utts)} utterances exceed "
-              "the bucket boundaries / max_label_len and are NOT scored")
+    print(f"checkpoint {path}")
+    for set_name in set_names:
+        utts = load_index(os.path.join(args.data_dir, set_name))
+        sampler = BucketSampler(utts, cfg.buckets, seed=0)
+        loader = BatchLoader(utts, vocab, cfg.buckets)
+        stem = os.path.splitext(os.path.basename(set_name))[0]
+        tag = f"[{stem}] " if len(set_names) > 1 else ""
+        hyp_out = args.hyp_out
+        if hyp_out and len(set_names) > 1:   # one file per set
+            root_, ext_ = os.path.splitext(hyp_out)
+            hyp_out = f"{root_}.{stem}{ext_}"
 
-    def write_hyps(sink):
-        with open(args.hyp_out, "w", encoding="utf-8") as f:
-            for i, text in sorted(sink):
-                f.write(f"{utts[i].utt_id}\t{text}\n")
-        print(f"wrote {len(sink)} hypotheses -> {args.hyp_out}")
+        if sampler.num_dropped:
+            print(f"{tag}warning: {sampler.num_dropped}/{len(utts)} utterances "
+                  "exceed the bucket boundaries / max_label_len, NOT scored")
 
-    if args.tune_lm:
-        if args.beam <= 0 or lm_dense is None:
-            raise SystemExit("--tune-lm requires --beam K and --lm")
-        from ..decode.beam import beam_decode_stream
-        from ..decode.metrics import CERAccumulator
-        alphas = [float(x) for x in args.tune_alphas.split(",")]
-        betas = [float(x) for x in args.tune_betas.split(",")]
-        # ONE acoustic forward pass: store (logits, olens, refs) per batch,
-        # device-resident (a 2k-utt dev set at T'=384/V=200 is ~600 MB fp32
-        # — well inside HBM; chunk the index for anything larger)
-        stored = []
-        for bid, idxs, n_valid in sampler.eval_batches():
-            batch = loader.load(bid, idxs)
-            _, logits, olens = eval_fn(batch)
-            refs = [utts[int(idxs[i])].text for i in range(n_valid)]
-            stored.append((logits, olens, refs, n_valid, idxs))
-        print(f"checkpoint {path}")
-        best, best_sink = None, None
-        for a in alphas:
-            for b in betas:
-                acc = CERAccumulator()
-                sink = [] if args.hyp_out else None
-                stream = beam_decode_stream(
-                    ((lg, ol) for lg, ol, _, _, _ in stored), beam=args.beam,
-                    lm=lm_dense, alpha=a, beta=b, mesh=mesh,
-                    axis=cfg.parallel.data_axis)
-                for (_, _, refs, n_valid, idxs), hyps in zip(stored, stream):
-                    texts = [vocab.decode(h) for h in hyps[:n_valid]]
-                    acc.add_batch(texts, refs)
-                    if sink is not None:
-                        sink.extend((int(idxs[i]), t)
-                                    for i, t in enumerate(texts))
-                print(f"alpha={a:<5g} beta={b:<5g} CER {acc.cer:.4f} "
-                      f"({acc.edits} edits)")
-                if best is None or acc.cer < best[0]:
-                    best, best_sink = (acc.cer, a, b), sink
-        print(f"best: alpha={best[1]:g} beta={best[2]:g} CER {best[0]:.4f}")
-        if best_sink is not None:
-            write_hyps(best_sink)    # the best grid point's transcripts
-        return
+        def write_hyps(sink):
+            with open(hyp_out, "w", encoding="utf-8") as f:
+                for i, text in sorted(sink):
+                    f.write(f"{utts[i].utt_id}\t{text}\n")
+            print(f"wrote {len(sink)} hypotheses -> {hyp_out}")
 
-    if args.compare:
-        if args.beam <= 0:
-            raise SystemExit("--compare requires --beam K")
-        from ..decode.beam import beam_decode
-        decoders = {
-            "greedy": None,
-            f"beam{args.beam}": (lambda lg, ol: beam_decode(
-                lg, ol, beam=args.beam, mesh=mesh,
-                axis=cfg.parallel.data_axis)),
-        }
-        if lm_dense is not None:
-            decoders[f"beam{args.beam}+lm"] = decode_fn
-        sink = [] if args.hyp_out else None
+        if args.tune_lm:
+            if args.beam <= 0 or lm_dense is None:
+                raise SystemExit("--tune-lm requires --beam K and --lm")
+            from ..decode.beam import beam_decode_stream
+            from ..decode.metrics import CERAccumulator
+            alphas = [float(x) for x in args.tune_alphas.split(",")]
+            betas = [float(x) for x in args.tune_betas.split(",")]
+            # ONE acoustic forward pass: store (logits, olens, refs) per batch,
+            # device-resident (a 2k-utt dev set at T'=384/V=200 is ~600 MB fp32
+            # — well inside HBM; chunk the index for anything larger)
+            stored = []
+            for bid, idxs, n_valid in sampler.eval_batches():
+                batch = loader.load(bid, idxs)
+                _, logits, olens = eval_fn(batch)
+                refs = [utts[int(idxs[i])].text for i in range(n_valid)]
+                stored.append((logits, olens, refs, n_valid, idxs))
+            best, best_sink = None, None
+            for a in alphas:
+                for b in betas:
+                    acc = CERAccumulator()
+                    sink = [] if hyp_out else None
+                    stream = beam_decode_stream(
+                        ((lg, ol) for lg, ol, _, _, _ in stored), beam=args.beam,
+                        lm=lm_dense, alpha=a, beta=b, mesh=mesh,
+                        axis=cfg.parallel.data_axis)
+                    for (_, _, refs, n_valid, idxs), hyps in zip(stored, stream):
+                        texts = [vocab.decode(h) for h in hyps[:n_valid]]
+                        acc.add_batch(texts, refs)
+                        if sink is not None:
+                            sink.extend((int(idxs[i]), t)
+                                        for i, t in enumerate(texts))
+                    print(f"alpha={a:<5g} beta={b:<5g} CER {acc.cer:.4f} "
+                          f"({acc.edits} edits)")
+                    if best is None or acc.cer < best[0]:
+                        best, best_sink = (acc.cer, a, b), sink
+            print(f"best: alpha={best[1]:g} beta={best[2]:g} CER {best[0]:.4f}")
+            if best_sink is not None:
+                write_hyps(best_sink)    # the best grid point's transcripts
+            continue
+
+        if args.compare:
+            if args.beam <= 0:
+                raise SystemExit("--compare requires --beam K")
+            from ..decode.beam import beam_decode
+            decoders = {
+                "greedy": None,
+                f"beam{args.beam}": (lambda lg, ol: beam_decode(
+                    lg, ol, beam=args.beam, mesh=mesh,
+                    axis=cfg.parallel.data_axis)),
+            }
+            if lm_dense is not None:
+                decoders[f"beam{args.beam}+lm"] = decode_fn
+            sink = [] if hyp_out else None
+            accs, loss = evaluate_multi(eval_fn, loader, sampler.eval_batches(),
+                                        vocab, utts, decoders, sink=sink,
+                                        sink_decoder=list(decoders)[-1])
+            for name, acc in accs.items():
+                print(f"{tag}CER[{name}] {acc.cer:.4f} | {acc.num_utts} utts "
+                      f"| {acc.edits} edits / {acc.ref_len} ref chars")
+            print(f"{tag}loss {loss:.4f}")
+            if sink is not None:
+                write_hyps(sink)
+            continue
+
+        sink = [] if hyp_out else None
         accs, loss = evaluate_multi(eval_fn, loader, sampler.eval_batches(),
-                                    vocab, utts, decoders, sink=sink,
-                                    sink_decoder=list(decoders)[-1])
-        print(f"checkpoint {path}")
-        for name, acc in accs.items():
-            print(f"CER[{name}] {acc.cer:.4f} | {acc.num_utts} utts "
-                  f"| {acc.edits} edits / {acc.ref_len} ref chars")
-        print(f"loss {loss:.4f}")
+                                    vocab, utts, {"_": decode_fn},
+                                    sink=sink, sink_decoder="_")
+        acc = accs["_"]
+        print(f"{tag}CER {acc.cer:.4f} | loss {loss:.4f} | {acc.num_utts} utts "
+              f"| {acc.edits} edits / {acc.ref_len} ref chars")
         if sink is not None:
             write_hyps(sink)
-        return
-
-    sink = [] if args.hyp_out else None
-    accs, loss = evaluate_multi(eval_fn, loader, sampler.eval_batches(),
-                                vocab, utts, {"_": decode_fn},
-                                sink=sink, sink_decoder="_")
-    acc = accs["_"]
-    print(f"checkpoint {path}")
-    print(f"CER {acc.cer:.4f} | loss {loss:.4f} | {acc.num_utts} utts "
-          f"| {acc.edits} edits / {acc.ref_len} ref chars")
-    if sink is not None:
-        write_hyps(sink)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,14 @@ def test_cli_end_to_end(tmp_path, capsys):
     hyp_rows = [l.split("\t") for l in open(hyp_path, encoding="utf-8")]
     assert len(hyp_rows) == 8 and all(len(r) == 2 for r in hyp_rows)
 
+    # multi-set eval: comma-separated --index scores each set in one
+    # process (one model load, shared compiles), tagged per-set rows
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--index", "dev_index.jsonl,train_index.jsonl"])
+    multi_lines = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("[dev_index] CER") for l in multi_lines)
+    assert any(l.startswith("[train_index] CER") for l in multi_lines)
+
     # (alpha, beta) grid search from one forward pass; --hyp-out writes
     # the BEST grid point's transcripts (not silently dropped)
     tune_hyp = str(tmp_path / "tune_hyps.tsv")
