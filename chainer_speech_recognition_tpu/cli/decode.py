@@ -43,9 +43,18 @@ def main(argv=None):
                    help="wavs per device batch: long wav lists are decoded "
                         "in length-sorted chunks (bounded memory + padding "
                         "waste) and printed in input order")
-    p.add_argument("wavs", nargs="+")
+    p.add_argument("--wav-list", default=None,
+                   help="file with one wav path per line (for corpora past "
+                        "the shell's argv limit); combines with positional "
+                        "wavs")
+    p.add_argument("wavs", nargs="*")
     args = p.parse_args(argv)
 
+    if args.wav_list:
+        with open(args.wav_list, encoding="utf-8") as f:
+            args.wavs += [l.strip() for l in f if l.strip()]
+    if not args.wavs:
+        raise SystemExit("no wavs given (positional or --wav-list)")
     if args.batch <= 0:
         raise SystemExit("--batch must be >= 1")
     # --nbest only has meaning on the beam path (ADVICE r2): fail loudly

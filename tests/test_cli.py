@@ -143,10 +143,15 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert [l.split("\t")[0] for l in lines] == wavs
 
     # chunked BEAM decode runs through the streamed bulk path
-    # (beam_decode_stream) — same input-order contract
+    # (beam_decode_stream) — same input-order contract; wavs arrive via
+    # --wav-list (the past-argv-limit surface)
+    wav_list = str(tmp_path / "wavs.txt")
+    with open(wav_list, "w", encoding="utf-8") as f:
+        f.write("\n".join(wavs) + "\n")
     decode_cli.main(["--ckpt-dir", ckpt,
                      "--vocab", os.path.join(out, "vocab.txt"),
-                     "--batch", "16", "--beam", "2", *wavs])
+                     "--batch", "16", "--beam", "2",
+                     "--wav-list", wav_list])
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert [l.split("\t")[0] for l in lines] == wavs
 
