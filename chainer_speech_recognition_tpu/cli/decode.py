@@ -67,6 +67,11 @@ def main(argv=None):
 
     cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
     vocab = Vocab.load(args.vocab)
+    if len(vocab) != cfg.model.vocab_size:
+        raise SystemExit(
+            f"vocab has {len(vocab)} symbols but the checkpoint was trained "
+            f"with model.vocab_size={cfg.model.vocab_size} — wrong vocab "
+            "file for this checkpoint (decodes would be silently garbled)")
 
     lm = None
     if args.beam > 0 and args.lm:

@@ -79,6 +79,11 @@ def main(argv=None):
 
     cfg, model, state, path = load_model_and_params(args.ckpt_dir)
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.txt"))
+    if len(vocab) != cfg.model.vocab_size:
+        raise SystemExit(
+            f"vocab has {len(vocab)} symbols but the checkpoint was trained "
+            f"with model.vocab_size={cfg.model.vocab_size} — wrong vocab "
+            "file for this checkpoint (decodes would be silently garbled)")
     set_names = [s for s in args.index.split(",") if s]
     if len(set_names) > 1 and args.tune_lm:
         raise SystemExit("--tune-lm tunes on ONE set; pass a single --index")
