@@ -24,8 +24,11 @@ class BucketShape:
 
     @property
     def max_samples(self) -> int:
-        # inverse of num_frames: largest N with 1 + N // HOP <= max_frames
-        return (self.max_frames - 1) * C.HOP_LENGTH
+        # inverse of num_frames: largest N with 1 + N // HOP <= max_frames.
+        # N // HOP <= max_frames - 1 admits N up to max_frames·HOP - 1;
+        # the previous (max_frames-1)·HOP silently clipped the final
+        # ≤ HOP-1 samples (~10 ms) of exactly-boundary utterances
+        return self.max_frames * C.HOP_LENGTH - 1
 
 
 def bucket_shapes(cfg: BucketConfig) -> list[BucketShape]:

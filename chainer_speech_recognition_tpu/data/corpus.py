@@ -82,7 +82,12 @@ def scan_corpus(root: str) -> list[Utterance]:
             with open(txt_path, encoding="utf-8") as f:
                 text = f.read().strip()
             with wave.open(wav_path, "rb") as w:
-                n = w.getnframes()
+                # length at the CONTRACT rate: read_wav resamples non-16 kHz
+                # input, so bucketing/num_frames must use the post-resample
+                # count (int(round(...)) matches resample_sinc's output
+                # length) — native counts would overstate a 48 kHz wav 3×
+                n = int(round(w.getnframes()
+                              * C.SAMPLE_RATE / w.getframerate()))
             utt_id = os.path.relpath(wav_path, root)[:-4].replace(os.sep, "/")
             utts.append(Utterance(utt_id, wav_path, text, n))
     return utts

@@ -95,10 +95,14 @@ def normalize(text: str, *, kana: str | None = None,
     kana: None (leave), "katakana", or "hiragana" — fold the kana script so
     the vocab doesn't split probability mass across two scripts.
     """
+    # NFKC FIRST: CSJ annotations may be written with fullwidth parens /
+    # tag letters / semicolons (（Ｆ えー）); the tag regexes match the
+    # ASCII forms, so folding must happen before stripping or the tag
+    # letters would leak into labels
+    text = unicodedata.normalize("NFKC", text)
     if strip_tags:
         text = _strip_tags(text)
         text = _ANGLE.sub("", text)
-    text = unicodedata.normalize("NFKC", text)
     text = _PUNCT.sub("", text)
     if kana == "katakana":
         text = hira_to_kata(text)

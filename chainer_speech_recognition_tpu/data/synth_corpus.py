@@ -42,14 +42,22 @@ def synthesize_packed(prefix: str, n_utts: int, vocab_size: int = 64,
     pack_path, meta_path = prefix + ".pack", prefix + ".meta.npz"
     vocab_path = prefix + ".vocab.txt"
     if all(os.path.exists(p) for p in (pack_path, meta_path, vocab_path)):
-        return {"bytes": os.path.getsize(pack_path), "seconds": 0.0,
-                "built": False}
+        # reuse only if the existing pack matches THIS request — a stale
+        # pack from a smaller run would silently shrink the demonstration
+        with np.load(meta_path) as meta:
+            longest = int(meta["num_samples"].max(initial=0))
+            # every synthesized utterance is near-full-length, so the
+            # longest recorded one brackets the max_samples it was built with
+            if (len(meta["offsets"]) == n_utts
+                    and max_samples * 0.8 <= longest <= max_samples):
+                return {"bytes": os.path.getsize(pack_path), "seconds": 0.0,
+                        "built": False}
+        print(f"[synth_corpus] existing {prefix}.pack does not match "
+              f"(n_utts/max_samples) — rebuilding", flush=True)
     t0 = time.perf_counter()
     rng = np.random.default_rng(seed)
     offsets = np.zeros(n_utts, np.int64)
     num_samples = np.zeros(n_utts, np.int64)
-    label_offsets = np.zeros(n_utts + 1, np.int64)
-    labels_flat: list[np.ndarray] = []
     texts: list[str] = []
     tmp = pack_path + ".tmp"
     with open(tmp, "wb") as f:
@@ -71,17 +79,14 @@ def synthesize_packed(prefix: str, n_utts: int, vocab_size: int = 64,
             offsets[i] = pos
             num_samples[i] = len(pcm)
             pos += len(pcm)
-            ids_arr = np.asarray(ids, np.int32)
-            labels_flat.append(ids_arr)
-            label_offsets[i + 1] = label_offsets[i] + len(ids_arr)
             texts.append("".join(chr(0x3042 + k) for k in ids))
             if log_every and (i + 1) % log_every == 0:
                 print(f"[synth_corpus] {i + 1}/{n_utts} utts, "
                       f"{pos / 1e9:.2f} GB", flush=True)
     os.replace(tmp, pack_path)
     vocab = Vocab.build(texts)
-    # pack label ids came from the generator's symbol space; re-encode via
-    # the built vocab so pack labels == vocab.encode(text) exactly
+    # label ids are encoded via the BUILT vocab so pack labels ==
+    # vocab.encode(text) exactly
     labels_flat = [np.asarray(vocab.encode(t), np.int32) for t in texts]
     label_offsets = np.zeros(n_utts + 1, np.int64)
     for i, ids_arr in enumerate(labels_flat):

@@ -104,6 +104,11 @@ def _resolve_data_mode(cfg: Config, sampler: BucketSampler,
     if mode not in ("auto", "stream", "device_cache", "rotating"):
         raise ValueError(f"unknown train.data_mode: {mode!r}")
     if cfg.features.use_cache:           # precomputed-feature batches: stream
+        if mode not in ("auto", "stream"):
+            raise ValueError(
+                f"train.data_mode={mode!r} is incompatible with "
+                "features.use_cache=true (the disk feature cache feeds "
+                "per-step streamed batches) — drop one of the two")
         return "stream"
     if mode == "auto":
         est = estimate_bytes(sampler, features=cfg.train.cache_features,
@@ -327,13 +332,16 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         return step >= cfg.train.total_steps
 
     try:
+        prior_dispatches = 0      # running total over epochs < current —
+        #                           avoids re-planning every prior epoch
+        #                           (O(E²) in long runs) on each iteration
         while not done:
             batches = epoch_batches(epoch)
             # exact resume: skip dispatches already consumed this epoch
             # (each dispatch advances step by k_dispatch)
-            consumed = (step - k_dispatch * sum(
-                len(epoch_batches(e)) for e in range(epoch))) // k_dispatch
+            consumed = step // k_dispatch - prior_dispatches
             if consumed >= len(batches):
+                prior_dispatches += len(batches)
                 epoch += 1
                 continue
             todo = batches[max(consumed, 0):]
@@ -404,6 +412,7 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                     if bookkeep(m, bucket_id, batch["labels"].shape[0]):
                         done = True
                         break
+            prior_dispatches += len(batches)
             epoch += 1
 
     finally:

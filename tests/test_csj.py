@@ -49,6 +49,11 @@ def test_normalize_punct_and_nfkc():
     assert normalize("ＡＢ１、 こんにちは！") == "AB1こんにちは"
     # the kana long-vowel mark must survive punctuation stripping
     assert normalize("コーヒー") == "コーヒー"
+    # NFKC runs BEFORE tag stripping: annotations written with fullwidth
+    # parens / tag letters / semicolons must still strip (the tag regexes
+    # match ASCII forms only)
+    assert normalize("（Ｆ えー）うん") == "うん"
+    assert normalize("（Ａ よみ；表記）です") == "よみです"
 
 
 def test_kana_folding_roundtrip():

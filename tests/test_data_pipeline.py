@@ -52,13 +52,32 @@ def test_scan_and_index_roundtrip(tmp_path):
     assert len(vocab) > 2
 
 
+def test_scan_corpus_non16k_uses_contract_rate(tmp_path):
+    """scan_corpus must index lengths at the 16 kHz CONTRACT rate (what
+    read_wav's resampler delivers), not the wav's native rate — a 48 kHz
+    corpus would otherwise bucket at 3x-overstated frame counts."""
+    root = str(tmp_path / "c48")
+    os.makedirs(root)
+    sig = np.zeros(48000, np.float32)           # 1 s at 48 kHz
+    write_wav(os.path.join(root, "a.wav"), sig, sample_rate=48000)
+    with open(os.path.join(root, "a.txt"), "w") as f:
+        f.write("あい")
+    (u,) = scan_corpus(root)
+    assert u.num_samples == C.SAMPLE_RATE        # 1 s at the contract rate
+    assert len(read_wav(u.wav)) == u.num_samples
+
+
 def test_assign_bucket_and_waste():
     cfg = BucketConfig(boundaries=(100, 200), batch_sizes=(4, 2))
     idx = assign_bucket(np.asarray([50, 100, 150, 201]), cfg)
     assert list(idx) == [0, 0, 1, -1]
     shapes = bucket_shapes(cfg)
-    assert shapes[0].max_samples == 99 * C.HOP_LENGTH
+    # max_samples is the LARGEST N whose frame count still fits the bucket
+    # — one sample fewer than 100 hops, NOT 99 hops (which silently
+    # clipped ~10 ms off exactly-boundary utterances)
+    assert shapes[0].max_samples == 100 * C.HOP_LENGTH - 1
     assert C.num_frames(shapes[0].max_samples) == 100
+    assert C.num_frames(shapes[0].max_samples + 1) == 101
     w = padding_waste([50, 100], cfg)
     assert abs(w - (1 - 150 / 200)) < 1e-9
 

@@ -268,3 +268,11 @@ def test_synthesize_packed_roundtrip(tmp_path):
                                       vocab.encode(pc.texts[i]))
     again = synthesize_packed(prefix, 6, vocab_size=12, max_samples=8000)
     assert not again["built"] and again["bytes"] == info["bytes"]
+    # a MISMATCHED request must rebuild, not silently reuse the stale pack
+    # (a 100-utt smoke pack must never stand in for a 50k-utt scale run)
+    bigger = synthesize_packed(prefix, 9, vocab_size=12, max_samples=8000,
+                               min_labels=3, max_labels=5)
+    assert bigger["built"] and len(PackedCorpus(prefix)) == 9
+    longer = synthesize_packed(prefix, 9, vocab_size=12, max_samples=16000,
+                               min_labels=3, max_labels=5)
+    assert longer["built"] and longer["bytes"] > bigger["bytes"]
