@@ -33,7 +33,7 @@ paths).
 from __future__ import annotations
 
 import math
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 
 import jax
 import jax.numpy as jnp
@@ -148,41 +148,41 @@ def _unpack(packed: np.ndarray, keep: int, max_len: int):
 
 import functools
 
-# host-array → device-array cache for the dense LM table: repeated
-# beam_decode calls (the normal eval loop) must not re-upload the table
-# every batch — on a relay-attached TPU each host→device transfer costs
-# milliseconds of latency. Values keep the host array referenced so its
-# id() stays valid for the cache key.
-_LM_DEV_CACHE: dict[int, tuple] = {}
+# identity-keyed LRU memo shared by the LM device paths: repeated
+# beam_decode calls (the normal eval loop) must not re-upload the dense
+# table / re-densify an NGramLM every batch — on a relay-attached TPU
+# each host→device transfer costs milliseconds of latency. Entries keep
+# the source object referenced so its id() stays a valid key; eviction
+# pops only the least-recently-used entry (a blunt clear() would drop a
+# hot multi-MB LM table mid-eval and force a full re-upload).
+_LM_DEV_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
+
+
+def _cached_by_identity(obj, build):
+    key = id(obj)
+    hit = _LM_DEV_CACHE.get(key)
+    if hit is not None and hit[0] is obj:
+        _LM_DEV_CACHE.move_to_end(key)
+        return hit[1]
+    val = build(obj)                  # build BEFORE evicting: a failed
+    if len(_LM_DEV_CACHE) >= 8:       # build must not cost a hot entry
+        _LM_DEV_CACHE.popitem(last=False)
+    _LM_DEV_CACHE[key] = (obj, val)
+    return val
 
 
 def _lm_to_device(table) -> jnp.ndarray:
     if isinstance(table, jax.Array) and not isinstance(table, np.ndarray):
         return table.astype(jnp.float32)
-    key = id(table)
-    hit = _LM_DEV_CACHE.get(key)
-    if hit is not None and hit[0] is table:
-        return hit[1]
-    if len(_LM_DEV_CACHE) > 8:
-        _LM_DEV_CACHE.clear()
-    dev = jnp.asarray(table, jnp.float32)
-    _LM_DEV_CACHE[key] = (table, dev)
-    return dev
+    return _cached_by_identity(table, lambda t: jnp.asarray(t, jnp.float32))
 
 
 def _hashed_to_device(h: HashedLM):
     """(hash table int32 [cap,2], resolved rows fp32 [R,V]) on device,
-    cached by HashedLM identity (same discipline as _lm_to_device)."""
-    key = id(h)
-    hit = _LM_DEV_CACHE.get(key)
-    if hit is not None and hit[0] is h:
-        return hit[1], hit[2]
-    if len(_LM_DEV_CACHE) > 8:
-        _LM_DEV_CACHE.clear()
-    t = jnp.asarray(h.table, jnp.int32)
-    r = jnp.asarray(h.rows, jnp.float32)
-    _LM_DEV_CACHE[key] = (h, t, r)
-    return t, r
+    cached by HashedLM identity."""
+    return _cached_by_identity(
+        h, lambda x: (jnp.asarray(x.table, jnp.int32),
+                      jnp.asarray(x.rows, jnp.float32)))
 
 
 def _ngram_to_dense_cached(lm: NGramLM):
@@ -190,16 +190,8 @@ def _ngram_to_dense_cached(lm: NGramLM):
     call: beam_decode_stream / eval loops pass the same NGramLM for every
     batch, and an uncached to_dense() would rebuild the [V^(n-1), V]
     host table each time — a fresh id() that also defeats _lm_to_device's
-    upload cache (same discipline / same cache as the device arrays)."""
-    key = id(lm)
-    hit = _LM_DEV_CACHE.get(key)
-    if hit is not None and hit[0] is lm:
-        return hit[1]
-    if len(_LM_DEV_CACHE) > 8:
-        _LM_DEV_CACHE.clear()
-    dense = lm.to_dense()
-    _LM_DEV_CACHE[key] = (lm, dense)
-    return dense
+    upload cache."""
+    return _cached_by_identity(lm, lambda x: x.to_dense())
 
 
 @functools.lru_cache(maxsize=8)

@@ -34,6 +34,27 @@ def greedy_decode(
     return _greedy_decode_xla(logits, lengths, max_len)
 
 
+def compact_kept(best: jnp.ndarray, keep: jnp.ndarray, max_len: int):
+    """[B, T] (symbol, keep) masks → ([B, max_len] ids, [B] lens): the
+    shared tail of the XLA and Pallas greedy paths (one implementation so
+    the oracle and the kernel stay provably identical).
+
+    out_lens is CLAMPED to max_len — callers slice ids[b, :out_lens[b]],
+    so a length exceeding the matrix width would walk into pads."""
+    B = best.shape[0]
+    # compact kept symbols to the front: out[b, cumsum(keep)-1] = best
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1          # [B, T]
+    out_lens = jnp.minimum(pos[:, -1] + 1, max_len)
+    # scatter via one-hot matmul-free approach: dump non-kept AND
+    # overflow (pos >= max_len) symbols to the trash slot explicitly —
+    # correctness must not lean on default out-of-bounds scatter modes
+    slot = jnp.where(keep, jnp.minimum(pos, max_len), max_len)    # [B, T]
+    out = jnp.full((B, max_len + 1), PAD_LABEL_ID, jnp.int32)
+    out = out.at[jnp.arange(B)[:, None], slot].set(
+        jnp.where(keep, best, PAD_LABEL_ID))
+    return out[:, :max_len], out_lens
+
+
 @functools.partial(jax.jit, static_argnames=("max_len",))
 def _greedy_decode_xla(
     logits: jnp.ndarray,
@@ -47,16 +68,7 @@ def _greedy_decode_xla(
         [jnp.full((B, 1), BLANK_ID, jnp.int32), best[:, :-1]], axis=1)
     valid = jnp.arange(T, dtype=jnp.int32)[None, :] < lengths[:, None]
     keep = (best != BLANK_ID) & (best != prev) & valid            # [B, T]
-
-    # compact kept symbols to the front: out[b, cumsum(keep)-1] = best
-    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1          # [B, T]
-    out_lens = pos[:, -1] + 1
-    # scatter via one-hot matmul-free approach: dump non-kept to a trash slot
-    slot = jnp.where(keep, pos, max_len)                          # [B, T]
-    out = jnp.full((B, max_len + 1), PAD_LABEL_ID, jnp.int32)
-    out = out.at[jnp.arange(B)[:, None], slot].set(
-        jnp.where(keep, best, PAD_LABEL_ID))
-    return out[:, :max_len], out_lens
+    return compact_kept(best, keep, max_len)
 
 
 def greedy_decode_np(logits, length):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import BLANK_ID, PAD_LABEL_ID
+from ..constants import BLANK_ID
 
 
 def _kernel(lp_ref, tlen_ref, best_ref, keep_ref, prev):
@@ -80,11 +80,8 @@ def greedy_decode_pallas(logits: jnp.ndarray, lengths: jnp.ndarray,
     best = jnp.swapaxes(best_tm, 0, 1)[:B]
     keep = jnp.swapaxes(keep_tm, 0, 1)[:B].astype(bool)
 
-    # compaction (tiny): identical to decode/greedy.py
-    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-    out_lens = pos[:, -1] + 1
-    slot = jnp.where(keep, pos, max_len)
-    out = jnp.full((B, max_len + 1), PAD_LABEL_ID, jnp.int32)
-    out = out.at[jnp.arange(B)[:, None], slot].set(
-        jnp.where(keep, best, PAD_LABEL_ID))
-    return out[:, :max_len], out_lens
+    # compaction (tiny): the SAME helper the XLA path uses, so oracle and
+    # kernel tails cannot diverge
+    from .greedy import compact_kept
+
+    return compact_kept(best, keep, max_len)

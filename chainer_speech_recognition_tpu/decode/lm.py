@@ -119,18 +119,31 @@ class NGramLM:
         lm = cls(order, len(vocab))
 
         def sym_id(s: str) -> int | None:
+            """Vocab id for one ARPA symbol; None drops the gram. OOV
+            symbols must be DROPPED, not crash (no <unk> in vocab →
+            encode raises) and not silently pile distinct grams onto
+            <unk> (with <unk> → encode maps every OOV there, so the
+            round-trip check below rejects them)."""
             if s in ("<s>", "</s>", "<unk>"):
                 return None
-            ids = vocab.encode(s)
-            return ids[0] if len(ids) == 1 else None
+            try:
+                ids = vocab.encode(s)
+            except KeyError:
+                return None
+            if len(ids) != 1 or vocab.symbols[ids[0]] != s:
+                return None
+            return ids[0]
 
+        kept = dropped = 0
         for n, rows in sections.items():
             for row in rows:
                 logp10 = float(row[0])
                 toks = row[1].split(" ")
                 ids = [sym_id(t) for t in toks]
                 if any(i is None for i in ids):
+                    dropped += 1
                     continue
+                kept += 1
                 ctx, char = tuple(ids[:-1]), ids[-1]
                 lm.logp[n - 1].setdefault(ctx, {})[char] = logp10 * LOG10
                 # backoff weight of the n-gram *as a context*: key length is
@@ -139,6 +152,18 @@ class NGramLM:
                 # never be a context, so ARPA backoff on them is dropped.
                 if len(row) > 2 and n < order:
                     lm.backoff[n][ctx + (char,)] = float(row[2]) * LOG10
+        # sentence markers always drop, so some loss is normal — but a
+        # wholly mismatched vocab/ARPA pair (wrong corpus, wrong unit
+        # segmentation) must not load silently as a near-empty LM
+        if kept == 0:
+            raise ValueError(
+                f"{path}: every n-gram was dropped — no ARPA symbol maps "
+                "to this vocab (wrong vocab file or unit segmentation?)")
+        if dropped > kept:
+            import sys
+            print(f"warning: {path}: dropped {dropped} ARPA n-grams with "
+                  f"out-of-vocab symbols (kept {kept}) — vocab and LM may "
+                  "mismatch", file=sys.stderr)
         return lm
 
     def to_arpa(self, path: str, vocab: Vocab) -> None:
@@ -164,8 +189,10 @@ class NGramLM:
     def to_dense(self, max_order: int | None = None) -> tuple[np.ndarray, int]:
         """→ (table [V^(n-1), V] fp32 natural-log, effective order n).
 
-        Context id = sum_i ctx[i] * V^i (most recent char has the highest
-        stride); row 0 (all-blank context) is the BOS/empty context.
+        Context id = Σ_i ctx[i] · V^(k-1-i): the OLDEST char has the
+        highest stride (row-major tuple indexing; exactly the id
+        ``next_context_id`` rolls and the same convention ``to_hashed``
+        documents); row 0 (all-zero context) is the BOS/empty context.
         """
         n = min(self.order, max_order or self.order)
         V = self.V
@@ -249,6 +276,13 @@ class NGramLM:
         int32 context-rolling bound as the dense path).
         """
         n = min(self.order, max_order or self.order)
+        if n < 2:
+            # an order-1 LM has no contexts — nothing to hash, and the
+            # beam's probe ladder would trace over an empty level axis;
+            # the [1, V] dense table IS the right representation
+            raise ValueError(
+                "HashedLM requires order >= 2; use to_dense() (the order-1 "
+                "dense table is a single [1, V] row)")
         V = self.V
         if V ** n >= 2 ** 31:
             raise ValueError(
@@ -321,12 +355,16 @@ def device_lm(lm: NGramLM, repr: str = "auto",
     HashedLM beyond it (order ≥ 4 / large V, where dense is GBs). The
     returned object plugs straight into beam_decode's ``lm=``.
     """
+    if repr not in ("dense", "hashed", "auto"):
+        raise ValueError(f"unknown LM repr {repr!r}")
+    if lm.order < 2:
+        # order-1 has no contexts: the [1, V] dense row is the only valid
+        # device form (HashedLM refuses it), whatever repr was asked for
+        return lm.to_dense()
     if repr == "dense":
         return lm.to_dense()
     if repr == "hashed":
         return lm.to_hashed()
-    if repr != "auto":
-        raise ValueError(f"unknown LM repr {repr!r}")
     dense_bytes = lm.V ** (lm.order - 1) * lm.V * 4
     if dense_bytes <= dense_budget_bytes:
         return lm.to_dense()

@@ -1,9 +1,16 @@
 """Device (JAX/XLA) audio front-end, batched + length-masked.
 
 Computes exactly the golden pipeline (``golden_np.py``) on padded batches:
-for every utterance ``b`` with ``num_samples[b] = L``, the first
-``1 + L // HOP`` frames of the output are bit-comparable (fp32-allclose) to
-``golden_np.features(signal[:L])``; frames beyond that are zeros.
+for every utterance ``b`` with ``num_samples[b] = L >= N_FFT//2 + 1``
+(257 samples = 16 ms), the first ``1 + L // HOP`` frames of the output are
+bit-comparable (fp32-allclose) to ``golden_np.features(signal[:L])``;
+frames beyond that are zeros. Sub-257-sample utterances — shorter than
+one reflection pad, i.e. below any real speech — still produce finite,
+masked features, but their start/end reflections read zero padding where
+the golden oracle multi-reflects inside the utterance, so they are NOT
+bit-golden (documented limitation, also in README; an exact fix needs a
+per-utterance mirror gather that would tax the hot path ~15% for inputs
+that do not occur in practice).
 
 Design notes (TPU-first — gathers are poison on TPU, so there are none on
 the hot path):
@@ -163,6 +170,14 @@ def batch_features(
                          precision=jax.lax.Precision.HIGHEST)
     logmel = jnp.log(jnp.maximum(melspec, C.LOG_EPS))       # [B, T, n_mels]
 
+    return postprocess_logmel(logmel, lengths, t_max, apply_cmvn)
+
+
+def postprocess_logmel(logmel, lengths, t_max: int, apply_cmvn: bool):
+    """Shared tail of BOTH front-ends (jnp and Pallas): padding mask →
+    per-utterance CMVN over valid frames → Δ/ΔΔ with edge replication →
+    channel stack. One implementation so the differential-tested parity
+    pair cannot silently diverge on these semantics."""
     flens = frame_lengths(lengths)                          # [B]
     tmask = (jnp.arange(t_max)[None, :] < flens[:, None])   # [B, T]
     logmel = logmel * tmask[..., None]                      # zero padded frames

@@ -202,26 +202,12 @@ def fused_logmel_rows(ext: jnp.ndarray, T: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("apply_cmvn",))
 def batch_features_pallas(signals, num_samples, apply_cmvn: bool = True):
     """Drop-in for jnp_frontend.batch_features using the fused kernel."""
-    from .jnp_frontend import _K, _delta, extend_signal, frame_lengths
+    from .jnp_frontend import _K, extend_signal, postprocess_logmel
 
     B, n_max = signals.shape
     t_max = C.num_frames(n_max)
     lengths = num_samples.astype(jnp.int32)
     ext = extend_signal(signals, lengths, t_max + _K + 1)
     logmel = fused_logmel_rows(ext, t_max)                 # [B, T, n_mels]
-
-    flens = frame_lengths(lengths)
-    tmask = (jnp.arange(t_max)[None, :] < flens[:, None])
-    logmel = logmel * tmask[..., None]
-    if apply_cmvn:
-        m = tmask[..., None].astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
-        mean = jnp.sum(logmel * m, axis=1, keepdims=True) / cnt
-        var = jnp.sum(jnp.square(logmel - mean) * m, axis=1, keepdims=True) / cnt
-        logmel = (logmel - mean) * jax.lax.rsqrt(var + C.CMVN_VAR_EPS)
-        logmel = logmel * m
-    d1 = _delta(logmel, flens)
-    d2 = _delta(d1, flens)
-    feats = jnp.stack([logmel, d1, d2], axis=-1)
-    feats = feats * tmask[..., None, None].astype(feats.dtype)
-    return feats.astype(jnp.float32), flens
+    # mask → CMVN → Δ/ΔΔ → stack: the SAME shared tail as the jnp path
+    return postprocess_logmel(logmel, lengths, t_max, apply_cmvn)

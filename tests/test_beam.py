@@ -325,3 +325,35 @@ def test_beam_rejects_int16_overflow_shapes():
     lg = jnp.zeros((1, 4, 40000), jnp.float32)
     with pytest.raises(ValueError, match="int16"):
         beam_decode(lg, np.array([4], np.int32), beam=2)
+
+
+def test_from_arpa_drops_oov_symbols(tmp_path):
+    """ARPA grams on symbols outside the vocab must be DROPPED: no crash
+    without <unk>, and no silent pile-up of distinct OOV grams onto the
+    <unk> id with it."""
+    arpa = tmp_path / "oov.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=4\n\n\\1-grams:\n"
+        "-0.30\tあ\n-0.40\tい\n-0.10\tz\n-0.20\tq\n\n\\end\\\n",
+        encoding="utf-8")
+    v_nounk = Vocab.build(["あい"], add_unk=False)
+    lm = NGramLM.from_arpa(str(arpa), v_nounk)      # must not raise
+    assert set(lm.logp[0].get((), {})) == {v_nounk.encode("あ")[0],
+                                           v_nounk.encode("い")[0]}
+    v_unk = Vocab.build(["あい"], add_unk=True)
+    lm2 = NGramLM.from_arpa(str(arpa), v_unk)
+    assert v_unk.unk_id not in lm2.logp[0].get((), {})   # z/q not on <unk>
+
+
+def test_order1_lm_routes_to_dense():
+    """HashedLM has no contexts to hash at order 1 — to_hashed refuses,
+    and device_lm returns the [1, V] dense row whatever repr was asked."""
+    from chainer_speech_recognition_tpu.decode.lm import device_lm
+
+    vocab = Vocab.build(["あいう"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 5, vocab, order=1)
+    with pytest.raises(ValueError, match="order"):
+        lm.to_hashed()
+    for repr_ in ("auto", "dense", "hashed"):
+        table, order = device_lm(lm, repr_)
+        assert table.shape == (1, len(vocab)) and order == 1

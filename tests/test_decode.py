@@ -41,6 +41,21 @@ def test_greedy_respects_lengths():
     assert list(np.asarray(ids)[0, : int(out_lens[0])]) == [1]
 
 
+def test_greedy_out_lens_clamped_to_max_len():
+    """More emitted symbols than max_len: out_lens must clamp to the id
+    matrix width — callers slice ids[b, :out_lens[b]] and an unclamped
+    length walks into pads."""
+    path = [1, 2, 1, 2, 1, 2]                        # 6 distinct emissions
+    logits = np.full((1, len(path), 3), -10.0, np.float32)
+    for t, k in enumerate(path):
+        logits[0, t, k] = 10.0
+    ids, out_lens = greedy_decode(jnp.asarray(logits),
+                                  jnp.asarray([len(path)]), max_len=3)
+    assert ids.shape == (1, 3)
+    assert int(out_lens[0]) == 3
+    assert list(np.asarray(ids)[0]) == [1, 2, 1]     # first max_len symbols
+
+
 def test_edit_distance():
     assert edit_distance("kitten", "sitting") == 3
     assert edit_distance("", "abc") == 3
