@@ -51,7 +51,7 @@ def _measure_cpu_baseline(args) -> float:
     return float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
 
 
-def _bench_from_disk(cfg, vocab_size, args, n_chips):
+def _bench_from_disk(cfg, args, n_chips):
     """Build (once) an on-disk packed corpus, then measure sustained
     end-to-end training throughput in both feeding modes."""
     import numpy as np
@@ -428,7 +428,10 @@ def main(argv=None):
             ids = decode_once()
         _ = np.asarray(ids)                        # drain
         ddt = time.perf_counter() - t0
-        d_ups = B * args.steps / ddt / n_chips
+        # the eval/greedy decode path runs unsharded (single chip):
+        # its rate IS the per-chip rate — dividing by n_chips would
+        # misreport on multi-chip meshes
+        d_ups = B * args.steps / ddt
         return t_ups, d_ups, p_mfu, fps, float(m["loss"]), dt, ddt
 
     def bench_beam_e2e(pcfg, pmodel, beam=8):
@@ -472,7 +475,8 @@ def main(argv=None):
         for _ in range(n_rep):
             hyps = beam_decode(logits, olens, **kw)
         bdt = time.perf_counter() - t0
-        return (B * n_rep / sdt / n_chips, B * n_rep / bdt / n_chips)
+        # unsharded single-chip rates (see d_ups note)
+        return (B * n_rep / sdt, B * n_rep / bdt)
 
     def bench_beam_hashed(beam=8, V_lm=200, T_lm=256, B_lm=32):
         """Sparse-LM beam at the scale the dense table cannot reach
@@ -517,14 +521,14 @@ def main(argv=None):
             done += len(hs)
         sdt = time.perf_counter() - t0
         assert done == B_lm * n_rep
-        return (B_lm * n_rep / sdt / n_chips, h.bytes,
+        return (B_lm * n_rep / sdt, h.bytes,
                 V_lm ** 3 * V_lm * 4, build_s)
 
     (ups_per_chip, decode_ups, mfu, flops_per_sec, last_loss,
      dt, ddt) = bench_device_resident(cfg, model)
     audio_sec = float(np.sum(batch["num_samples"])) / C.SAMPLE_RATE
     rtf = audio_sec * args.steps / dt / n_chips    # audio-sec per wall-sec
-    decode_rtf = audio_sec * args.steps / ddt / n_chips
+    decode_rtf = audio_sec * args.steps / ddt
 
     if args.measure_baseline and args.backend != "cpu":
         baseline = _measure_cpu_baseline(args)
@@ -565,7 +569,7 @@ def main(argv=None):
 
     if not args.no_from_disk and args.backend == "tpu":
         fd, fd_ctx = _bench_from_disk(preset_config(args.preset).override(
-            {"model.compute_dtype": compute_dtype}), 64, args, n_chips)
+            {"model.compute_dtype": compute_dtype}), args, n_chips)
         extra.update(fd)
         # the headline is the SUSTAINED end-to-end rate on an on-disk
         # corpus (device cache + K-step dispatches): what users get,

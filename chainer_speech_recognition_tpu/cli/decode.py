@@ -8,7 +8,10 @@ Greedy by default; ``--beam K`` switches to prefix beam search, and
 from __future__ import annotations
 
 import argparse
+import sys
+import wave
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,9 +64,12 @@ def main(argv=None):
     # instead of silently printing greedy 1-best
     if args.nbest > 1 and args.beam <= 0:
         raise SystemExit("--nbest requires --beam K")
+    if args.lm and args.beam <= 0:
+        raise SystemExit("--lm requires --beam K (greedy decode cannot "
+                         "apply LM fusion)")
     if args.beam > 0 and args.nbest > args.beam:
         print(f"warning: --nbest {args.nbest} clamped to beam width "
-              f"{args.beam}")
+              f"{args.beam}", file=sys.stderr)   # stdout is the result TSV
 
     cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
     vocab = Vocab.load(args.vocab)
@@ -74,42 +80,59 @@ def main(argv=None):
             "file for this checkpoint (decodes would be silently garbled)")
 
     lm = None
-    if args.beam > 0 and args.lm:
+    if args.lm:
         from ..decode.lm import NGramLM, device_lm
         lm = device_lm(NGramLM.from_arpa(args.lm, vocab), args.lm_repr)
 
-    sigs = [read_wav(w) for w in args.wavs]
-    B = len(sigs)
+    # bounded memory: only HEADER lengths are read upfront (at the
+    # contract rate, matching read_wav's resampler); PCM is read
+    # per-chunk inside acoustic(), so a 100k-wav list never holds more
+    # than one chunk of signals in host RAM.
+    def header_len(path):
+        with wave.open(path, "rb") as w:
+            return int(round(w.getnframes() * C.SAMPLE_RATE
+                             / w.getframerate()))
+
+    wav_lens = [header_len(w) for w in args.wavs]
+    B = len(wav_lens)
     # long wav lists decode in length-sorted fixed-size chunks: bounded
     # memory, bounded padding waste, and signal lengths quantized to 1 s
     # so a 10k-wav corpus costs a handful of XLA compiles, not thousands.
     # A single sub-batch invocation keeps its exact shape (no quantizing).
     multi = B > args.batch
     bs = args.batch if multi else B
-    order = sorted(range(B), key=lambda i: len(sigs[i])) if multi \
+    order = sorted(range(B), key=lambda i: wav_lens[i]) if multi \
         else list(range(B))
     results: list = [None] * B
 
     chunks = [order[start : start + bs] for start in range(0, B, bs)]
+    # ONE compiled forward per padded shape (a handful thanks to the 1 s
+    # quantization) — an unjitted model.apply would dispatch the flax
+    # body op-by-op per chunk, each dispatch a host round-trip
+    forward = jax.jit(model.apply)
 
     def acoustic(chunk):
         """chunk of wav indices → (logits, olens); async-dispatched, so
         the streamed beam path below keeps several chunks in flight."""
         pad = bs - len(chunk)
         rows = chunk + [chunk[0]] * pad          # static batch shape
-        n_max = max(len(sigs[i]) for i in chunk)
+        n_max = max(wav_lens[i] for i in chunk)
         if multi:
             n_max = -(-n_max // C.SAMPLE_RATE) * C.SAMPLE_RATE
         signals = np.zeros((bs, n_max), np.float32)
         lens = np.zeros(bs, np.int32)
+        cache: dict = {}                          # pad rows reuse chunk[0]
         for r, i in enumerate(rows):
-            signals[r, : len(sigs[i])] = sigs[i]
-            lens[r] = len(sigs[i])
+            sig = cache.get(i)
+            if sig is None:
+                cache[i] = sig = read_wav(args.wavs[i])
+            signals[r, : len(sig)] = sig
+            lens[r] = len(sig)
         # same front-end implementation the checkpoint was trained with
         feats, flens = select_frontend(cfg.features)(
             jnp.asarray(signals), jnp.asarray(lens),
             apply_cmvn=cfg.features.cmvn)
-        return model.apply(state.params, feats, flens)
+        return forward(state.params, feats, flens)
 
     if args.beam > 0 and args.nbest > 1:
         from ..decode.beam import beam_decode_nbest

@@ -87,6 +87,12 @@ def main(argv=None):
     set_names = [s for s in args.index.split(",") if s]
     if len(set_names) > 1 and args.tune_lm:
         raise SystemExit("--tune-lm tunes on ONE set; pass a single --index")
+    if args.tune_lm and args.compare:
+        raise SystemExit("--tune-lm and --compare are mutually exclusive "
+                         "(tune first, then --compare at the best weights)")
+    if args.lm and args.beam <= 0:
+        raise SystemExit("--lm requires --beam K (greedy scoring cannot "
+                         "apply LM fusion)")
 
     # shard eval over every available device when the static bucket batch
     # sizes split evenly (VERDICT r1 missing #3); else single-device

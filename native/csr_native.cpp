@@ -63,6 +63,10 @@ int64_t wav_pcm16_to_f32(const uint8_t* buf, int64_t nbytes,
     std::memcpy(&chunk_len, hdr + 4, 4);
     const uint8_t* body = hdr + 8;
     if (!std::memcmp(hdr, "fmt ", 4) && chunk_len >= 16) {
+      // the 16 bytes read below must lie INSIDE the buffer: a truncated
+      // file whose fmt header sits at the tail would otherwise pass the
+      // pos+8 loop guard and read past the mapped numpy buffer
+      if (pos + 8 + 16 > nbytes) return -1;
       int16_t fmt;
       std::memcpy(&fmt, body, 2);
       std::memcpy(&channels, body + 2, 2);
