@@ -81,13 +81,21 @@ def scan_corpus(root: str) -> list[Utterance]:
                 continue
             with open(txt_path, encoding="utf-8") as f:
                 text = f.read().strip()
-            with wave.open(wav_path, "rb") as w:
-                # length at the CONTRACT rate: read_wav resamples non-16 kHz
-                # input, so bucketing/num_frames must use the post-resample
-                # count (int(round(...)) matches resample_sinc's output
-                # length) — native counts would overstate a 48 kHz wav 3×
-                n = int(round(w.getnframes()
-                              * C.SAMPLE_RATE / w.getframerate()))
+            try:
+                with wave.open(wav_path, "rb") as w:
+                    # length at the CONTRACT rate: read_wav resamples
+                    # non-16 kHz input, so bucketing/num_frames must use
+                    # the post-resample count (int(round(...)) matches
+                    # resample_sinc's output length) — native counts would
+                    # overstate a 48 kHz wav 3×
+                    n = int(round(w.getnframes()
+                                  * C.SAMPLE_RATE / w.getframerate()))
+            except (wave.Error, OSError, EOFError) as e:
+                # one corrupt file must not abort the whole corpus scan
+                # (same policy as scan_kaldi_style)
+                print(f"warning: skipping unreadable wav {wav_path}: {e}",
+                      file=sys.stderr)
+                continue
             utt_id = os.path.relpath(wav_path, root)[:-4].replace(os.sep, "/")
             utts.append(Utterance(utt_id, wav_path, text, n))
     return utts

@@ -232,3 +232,17 @@ def test_prefetcher_parallel_order_preserved(tmp_path):
     for a, b in zip(par, seq):
         np.testing.assert_array_equal(a["signals"], b["signals"])
         np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+def test_scan_corpus_skips_unreadable_wav(tmp_path, capsys):
+    """One corrupt wav+txt pair must skip with a warning, not abort the
+    whole directory scan (same policy as the Kaldi scanner)."""
+    root = str(tmp_path / "c")
+    _make_corpus(root, n=3)
+    with open(os.path.join(root, "zzz_bad.wav"), "wb") as f:
+        f.write(b"RIFFgarbage-not-a-wav")
+    with open(os.path.join(root, "zzz_bad.txt"), "w") as f:
+        f.write("あい")
+    utts = scan_corpus(root)
+    assert [u.utt_id for u in utts] == ["utt000", "utt001", "utt002"]
+    assert "zzz_bad" in capsys.readouterr().err

@@ -93,3 +93,33 @@ def test_cer_accumulator_batch_matches_scalar():
     b.add_batch([h for h, _ in pairs], [r for _, r in pairs])
     assert (a.edits, a.ref_len, a.num_utts) == (b.edits, b.ref_len, b.num_utts)
     assert a.cer == b.cer
+
+
+def test_wav_native_truncated_fmt_chunk_safe(tmp_path):
+    """fmt header at the buffer tail: the parser must bounds-check the
+    16-byte fmt body (previously a heap out-of-bounds read) and reject."""
+    path = str(tmp_path / "trunc.wav")
+    body = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + b"\x01\x00\x01\x00")
+    with open(path, "wb") as f:
+        f.write(body)
+    assert read_wav_native(path) is None
+    # fuzz a few hundred truncations/mutations of a valid header: none may
+    # crash the process (OOB would segfault under ASan/valgrind; here we
+    # assert clean None-or-array behavior)
+    import numpy as np
+    valid = (b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+             + b"fmt " + (16).to_bytes(4, "little")
+             + b"\x01\x00\x01\x00" + (16000).to_bytes(4, "little")
+             + (32000).to_bytes(4, "little") + b"\x02\x00\x10\x00"
+             + b"data" + (64).to_bytes(4, "little") + b"\x00" * 64)
+    rng = np.random.default_rng(0)
+    for i in range(300):
+        buf = bytearray(valid[: int(rng.integers(8, len(valid) + 1))])
+        for _ in range(int(rng.integers(0, 4))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        out = read_wav_native(path)
+        assert out is None or (isinstance(out, tuple)
+                               and hasattr(out[0], "shape"))
