@@ -122,3 +122,19 @@ def test_sigterm_graceful_checkpoint(tmp_path):
     cks = sorted((tmp_path / "ck").glob("step_*.msgpack"))
     assert cks, "no checkpoint written on SIGTERM"
     assert int(cks[-1].stem.split("_")[1]) == stop_step
+
+
+def test_use_cache_conflicts_with_device_modes():
+    """features.use_cache + an explicit device_cache/rotating data_mode is
+    contradictory — must raise, not silently stream (review finding)."""
+    from chainer_speech_recognition_tpu.data.sampler import BucketSampler
+    from chainer_speech_recognition_tpu.train.loop import _resolve_data_mode
+
+    utts = [Utterance(f"u{i}", "/x.wav", "あい", 16000) for i in range(4)]
+    cfg = preset_config("tiny_conv").override({
+        "features.use_cache": True, "train.data_mode": "device_cache"})
+    sampler = BucketSampler(utts, cfg.buckets, seed=0)
+    with pytest.raises(ValueError, match="incompatible"):
+        _resolve_data_mode(cfg, sampler)
+    ok = cfg.override({"train.data_mode": "auto"})
+    assert _resolve_data_mode(ok, sampler) == "stream"
