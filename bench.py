@@ -342,6 +342,32 @@ def main(argv=None):
         # images export JAX_PLATFORMS=<tpu-plugin> ambiently — without this
         # the ambient var would undo the --backend cpu pin above.
         os.environ["JAX_PLATFORMS"] = "cpu"
+    # Bounded backend init: on a relay-attached TPU a dead relay makes the
+    # first jax.devices() sleep FOREVER in the plugin's reconnect loop —
+    # the bench must then emit a diagnosable JSON line and exit, not hang
+    # the driver. (The probe thread is daemonized; os._exit skips teardown
+    # that would block on the same wedged client.)
+    if args.backend != "cpu":
+        import threading
+
+        _ready = threading.Event()
+
+        def _probe():
+            import jax as _jax
+
+            _jax.devices()
+            _ready.set()
+
+        threading.Thread(target=_probe, daemon=True).start()
+        if not _ready.wait(timeout=600):
+            print(json.dumps({
+                "metric": "train_utterances_per_sec_per_chip", "value": 0.0,
+                "unit": "utt/s/chip", "vs_baseline": None,
+                "extra": {"error": "TPU backend init timed out after 600 s "
+                                   "— device relay down/unreachable"}}))
+            sys.stdout.flush()
+            os._exit(1)
+
     from chainer_speech_recognition_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     import jax
