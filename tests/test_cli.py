@@ -235,3 +235,29 @@ def test_cli_end_to_end_mora_units(tmp_path, capsys):
                 break
         else:
             raise AssertionError(f"hyp {hyp!r} not composed of mora units")
+
+
+def test_preprocess_kaldi_format(tmp_path, capsys):
+    """preprocess --format kaldi: wav.scp + text + segments through the
+    real CLI surface (scan-level coverage lives in test_csj; this pins
+    the CLI wiring: index + vocab + dev split on segment utterances)."""
+    from chainer_speech_recognition_tpu.cli import preprocess as pre_cli
+
+    root = tmp_path / "kaldi"
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    sig, _ = make_utterance(rng, [1, 2, 1], tone_len=16000)
+    write_wav(str(root / "rec.wav"), sig)
+    (root / "wav.scp").write_text("rec rec.wav\n", encoding="utf-8")
+    n = len(sig) / 16000.0
+    (root / "segments").write_text(
+        f"rec_a rec 0.0 {n/2:.2f}\nrec_b rec {n/2:.2f} {n:.2f}\n",
+        encoding="utf-8")
+    (root / "text").write_text("rec_a あい\nrec_b いあ\n", encoding="utf-8")
+    out = str(tmp_path / "prep")
+    pre_cli.main(["--corpus", str(root), "--out", out, "--format", "kaldi"])
+    rows = [json.loads(l) for l in
+            open(os.path.join(out, "train_index.jsonl"), encoding="utf-8")]
+    assert [r["utt_id"] for r in rows] == ["rec_a", "rec_b"]
+    assert all(r["num_samples"] > 0 for r in rows)
+    assert os.path.exists(os.path.join(out, "vocab.txt"))
