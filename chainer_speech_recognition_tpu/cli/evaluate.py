@@ -75,6 +75,10 @@ def main(argv=None):
                         "per bucket shape). Requires --beam and --lm.")
     p.add_argument("--tune-alphas", default="0.0,0.25,0.5,0.75,1.0")
     p.add_argument("--tune-betas", default="0.0,0.5,1.0,1.5,2.0")
+    p.add_argument("--tune-chunk", type=int, default=64,
+                   help="batches whose logits stay device-resident at once "
+                        "during --tune-lm (bounds HBM residency on large "
+                        "dev sets; the acoustic pass still runs ONCE)")
     args = p.parse_args(argv)
 
     cfg, model, state, path = load_model_and_params(args.ckpt_dir)
@@ -150,37 +154,45 @@ def main(argv=None):
             from ..decode.metrics import CERAccumulator
             alphas = [float(x) for x in args.tune_alphas.split(",")]
             betas = [float(x) for x in args.tune_betas.split(",")]
-            # ONE acoustic forward pass: store (logits, olens, refs) per batch,
-            # device-resident (a 2k-utt dev set at T'=384/V=200 is ~600 MB fp32
-            # — well inside HBM; chunk the index for anything larger)
-            stored = []
-            for bid, idxs, n_valid in sampler.eval_batches():
-                batch = loader.load(bid, idxs)
-                _, logits, olens = eval_fn(batch)
-                refs = [utts[int(idxs[i])].text for i in range(n_valid)]
-                stored.append((logits, olens, refs, n_valid, idxs))
-            best, best_sink = None, None
-            for a in alphas:
-                for b in betas:
-                    acc = CERAccumulator()
-                    sink = [] if hyp_out else None
+            grid = [(a, b) for a in alphas for b in betas]
+            # ONE acoustic forward pass total, CHUNK-major: logits for
+            # --tune-chunk batches stay device-resident while every grid
+            # point streams over them (pull amortization preserved within
+            # a chunk), then the chunk is released — device residency is
+            # bounded at chunk_size batches however large the dev set.
+            accs = {ab: CERAccumulator() for ab in grid}
+            sinks = {ab: [] for ab in grid} if hyp_out else None
+            batches = sampler.eval_batches()
+            Ch = max(1, args.tune_chunk)
+            for c0 in range(0, len(batches), Ch):
+                stored = []
+                for bid, idxs, n_valid in batches[c0 : c0 + Ch]:
+                    batch = loader.load(bid, idxs)
+                    _, logits, olens = eval_fn(batch)
+                    refs = [utts[int(idxs[i])].text for i in range(n_valid)]
+                    stored.append((logits, olens, refs, n_valid, idxs))
+                for ab in grid:
                     stream = beam_decode_stream(
-                        ((lg, ol) for lg, ol, _, _, _ in stored), beam=args.beam,
-                        lm=lm_dense, alpha=a, beta=b, mesh=mesh,
-                        axis=cfg.parallel.data_axis)
-                    for (_, _, refs, n_valid, idxs), hyps in zip(stored, stream):
+                        ((lg, ol) for lg, ol, _, _, _ in stored),
+                        beam=args.beam, lm=lm_dense, alpha=ab[0],
+                        beta=ab[1], mesh=mesh, axis=cfg.parallel.data_axis)
+                    for (_, _, refs, n_valid, idxs), hyps in zip(stored,
+                                                                 stream):
                         texts = [vocab.decode(h) for h in hyps[:n_valid]]
-                        acc.add_batch(texts, refs)
-                        if sink is not None:
-                            sink.extend((int(idxs[i]), t)
-                                        for i, t in enumerate(texts))
-                    print(f"alpha={a:<5g} beta={b:<5g} CER {acc.cer:.4f} "
-                          f"({acc.edits} edits)")
-                    if best is None or acc.cer < best[0]:
-                        best, best_sink = (acc.cer, a, b), sink
+                        accs[ab].add_batch(texts, refs)
+                        if sinks is not None:
+                            sinks[ab].extend((int(idxs[i]), t)
+                                             for i, t in enumerate(texts))
+            best = None
+            for (a, b) in grid:
+                acc = accs[(a, b)]
+                print(f"alpha={a:<5g} beta={b:<5g} CER {acc.cer:.4f} "
+                      f"({acc.edits} edits)")
+                if best is None or acc.cer < best[0]:
+                    best = (acc.cer, a, b)
             print(f"best: alpha={best[1]:g} beta={best[2]:g} CER {best[0]:.4f}")
-            if best_sink is not None:
-                write_hyps(best_sink)    # the best grid point's transcripts
+            if sinks is not None:
+                write_hyps(sinks[(best[1], best[2])])   # best grid point
             continue
 
         if args.compare:

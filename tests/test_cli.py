@@ -132,6 +132,18 @@ def test_cli_end_to_end(tmp_path, capsys):
     tune_rows = [l.split("\t") for l in open(tune_hyp, encoding="utf-8")]
     assert len(tune_rows) == 8 and all(len(r) == 2 for r in tune_rows)
 
+    # chunk-major residency bound: --tune-chunk 1 (one batch resident at
+    # a time) must produce the IDENTICAL grid and best line
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--beam", "4", "--lm",
+                       os.path.join(out, "lm_2gram.arpa"), "--tune-lm",
+                       "--tune-alphas", "0.0,0.5",
+                       "--tune-betas", "0.0,1.0", "--tune-chunk", "1"])
+    chunked_out = capsys.readouterr().out.splitlines()
+    want = [l for l in tune_out if l.startswith(("alpha=", "best:"))]
+    got = [l for l in chunked_out if l.startswith(("alpha=", "best:"))]
+    assert got == want
+
     # chunked many-wav decode: > --batch wavs run in length-sorted fixed
     # chunks (1 s-quantized shapes) but print in INPUT order
     wavs = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
