@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .buckets import bucket_shapes
 from .sampler import BucketSampler
 
 
