@@ -33,6 +33,10 @@ def _kernel(lp_ref, tlen_ref, best_ref, keep_ref, prev):
     vidx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     best = jnp.min(jnp.where(logits == mx, vidx, logits.shape[1]),
                    axis=1).astype(jnp.int32)[None, :]    # [1, B]
+    # an all-NaN frame matches nothing (NaN != NaN), leaving the
+    # out-of-vocab sentinel Vp — map it to blank so a diverged
+    # checkpoint's decode stays in-vocab (it is dropped like any blank)
+    best = jnp.where(best >= logits.shape[1], BLANK_ID, best)
 
     @pl.when(t == 0)
     def _():

@@ -110,6 +110,13 @@ def mean_ctc_loss(logits, logit_lengths, labels, label_lengths):
     the reference averages per-utterance CTC NLL over the minibatch.
     """
     losses = ctc_loss(logits, logit_lengths, labels, label_lengths)
+    return masked_mean_loss(losses)
+
+
+def masked_mean_loss(losses):
+    """(mean over valid samples, valid fraction): the impossible-sample
+    policy (sentinel -LOG_ZERO losses excluded, count clamped to 1) lives
+    HERE only — the Pallas objective shares it."""
     valid = losses < -LOG_ZERO / 2
     n = jnp.maximum(jnp.sum(valid), 1)
     mean = jnp.sum(jnp.where(valid, losses, 0.0)) / n

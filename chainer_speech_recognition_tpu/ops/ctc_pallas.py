@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLANK_ID
-from .ctc_jax import LOG_ZERO, extend_labels
+from .ctc_jax import (LOG_ZERO, _logsumexp3 as _lse3, extend_labels,
+                      masked_mean_loss)
 
 BTILE = 8          # fp32 sublane tile
 LANE = 128         # lane width
@@ -35,14 +36,6 @@ LANE = 128         # lane width
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _lse3(a, b, c):
-    m = jnp.maximum(jnp.maximum(a, b), c)
-    m_safe = jnp.maximum(m, LOG_ZERO / 2)
-    se = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
-    out = m_safe + jnp.log(jnp.maximum(se, 1e-37))
-    return jnp.where(m <= LOG_ZERO / 2, LOG_ZERO, out)
 
 
 def _shift_right(x, k):
@@ -256,6 +249,11 @@ def ctc_loss_pallas(
     """Drop-in replacement for ops.ctc_jax.ctc_loss (same semantics)."""
     logits = logits.astype(jnp.float32)
     B, T, V = logits.shape
+    # clamp lengths to T: tlen > T (a caller's length-formula bug) must
+    # behave like the jnp path — WITHOUT this the backward kernel's beta
+    # init (tlen == t+1) never fires and the sample gets a normal finite
+    # loss but an exactly-zero gradient, a silent impl divergence
+    logit_lengths = jnp.minimum(logit_lengths, T)
     lp = jax.nn.log_softmax(logits, axis=-1)
     ext = extend_labels(labels)                              # [B, S]
     S = ext.shape[1]
@@ -273,7 +271,4 @@ def ctc_loss_pallas(
 
 def mean_ctc_loss_pallas(logits, logit_lengths, labels, label_lengths):
     losses = ctc_loss_pallas(logits, logit_lengths, labels, label_lengths)
-    valid = losses < -LOG_ZERO / 2
-    n = jnp.maximum(jnp.sum(valid), 1)
-    mean = jnp.sum(jnp.where(valid, losses, 0.0)) / n
-    return mean, jnp.mean(valid.astype(jnp.float32))
+    return masked_mean_loss(losses)     # same policy object as ctc_jax

@@ -106,3 +106,31 @@ def test_pallas_time_padding_invariance():
     l2 = np.asarray(ctc_loss_pallas(jnp.asarray(wide), jnp.asarray(tl),
                                     jnp.asarray(labels), jnp.asarray(ll)))
     np.testing.assert_allclose(l1, l2, atol=1e-5)
+
+
+def test_pallas_overlong_lengths_match_jnp_grad():
+    """logit_lengths > T (a caller's length-formula bug) must behave like
+    the jnp path in BOTH loss and gradient — the backward kernel's beta
+    init never fired for tlen > T, silently zeroing those samples' grads
+    while their loss stayed finite (max-effort kernel review)."""
+    logits, tl, ll, labels = _case(seed=5)
+    tl = tl.copy()
+    tl[1] = logits.shape[1] + 3                 # past T
+    ll[1] = max(int(ll[1]), 1)
+
+    def f_pallas(lg):
+        return mean_ctc_loss_pallas(lg, jnp.asarray(tl), jnp.asarray(labels),
+                                    jnp.asarray(ll))[0]
+
+    def f_jnp(lg):
+        from chainer_speech_recognition_tpu.ops.ctc_jax import mean_ctc_loss
+        return mean_ctc_loss(lg, jnp.asarray(jnp.minimum(tl, lg.shape[1])),
+                             jnp.asarray(labels), jnp.asarray(ll))[0]
+
+    x = jnp.asarray(logits)
+    lp, gp = jax.value_and_grad(f_pallas)(x)
+    lj, gj = jax.value_and_grad(f_jnp)(x)
+    np.testing.assert_allclose(float(lp), float(lj), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj),
+                               atol=1e-5, rtol=1e-4)
+    assert float(jnp.abs(gp[1]).max()) > 0.0    # the overlong sample TRAINS

@@ -33,3 +33,18 @@ def test_pallas_greedy_equals_xla_greedy():
     i2, l2 = greedy_decode_pallas(jnp.asarray(logits), jnp.asarray(lens))
     assert np.array_equal(np.asarray(l1), np.asarray(l2))
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_greedy_pallas_nan_frame_stays_in_vocab():
+    """An all-NaN frame (diverged checkpoint) must not emit the
+    out-of-vocab sentinel id Vp — it maps to blank and is dropped."""
+    import numpy as np
+
+    logits = np.full((1, 5, 6), -5.0, np.float32)
+    logits[0, 1, 2] = 5.0
+    logits[0, 3, :] = np.nan
+    ids, out_lens = greedy_decode_pallas(jnp.asarray(logits),
+                                         jnp.asarray([5]))
+    got = list(np.asarray(ids)[0, : int(out_lens[0])])
+    assert all(0 <= g < 6 for g in got), got
+    assert got == [2]
