@@ -101,7 +101,7 @@ def _gru_fwd_kernel(B, H, dtype, xs_ref, w_ref, lo_ref, hi_ref,
 
 
 def _gru_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
-                    hprev_ref, g_ref, dxs_ref, dhp_ref, dh_scr):
+                    hprev_ref, g_ref, dxs_ref, dhn_ref, dh_scr):
     t_rev = pl.program_id(1)
     n_t = pl.num_programs(1)
     t = n_t - 1 - t_rev
@@ -126,9 +126,11 @@ def _gru_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
 
     valid = _valid(lo_ref, hi_ref, t)
     dxs_ref[0] = jnp.where(valid, dxp, 0.0).astype(dxs_ref.dtype)
-    # masked recurrent-gate grads stream out; dW = Σ_t h_prevᵀ·dhp happens
-    # as one large XLA einsum after the kernel (off the sequential path)
-    dhp_ref[0] = jnp.where(valid, dhp, 0.0).astype(dhp_ref.dtype)
+    # dhp's first 2H columns are BIT-IDENTICAL to dxp's (dr_pre, dz_pre) —
+    # stream only the differing dhn column block; dW = Σ_t h_prevᵀ·dhp is
+    # computed after the kernel as two XLA einsums over (dxs[..., :2H],
+    # dhn) — same read bytes, 2H fewer store columns per sequential step
+    dhn_ref[0] = jnp.where(valid, dhn, 0.0).astype(dhn_ref.dtype)
     dh_scr[:, :] = jnp.where(valid, dh_prev, dh_total)
 
 
@@ -332,19 +334,25 @@ def _birnn_bwd(cell, dtype_name, res, g):
     h_prev = _shift_prev(ys)
     if cell == "gru":
         kern = functools.partial(_gru_bwd_kernel, B, H, dtype)
-        dxs, dhp = pl.pallas_call(
+        dxs, dhn = pl.pallas_call(
             kern, grid=grid,
             in_specs=[_specs_tbx_rev(R, 4 * H, T),
                       pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
                       rw(1), rw(1),
                       _specs_tbx_rev(R, H, T), _specs_tbx_rev(R, H, T)],
-            out_specs=[_specs_tbx_rev(R, GH, T), _specs_tbx_rev(R, GH, T)],
+            out_specs=[_specs_tbx_rev(R, GH, T), _specs_tbx_rev(R, H, T)],
             out_shape=[jax.ShapeDtypeStruct((T, R, GH), sdt),
-                       jax.ShapeDtypeStruct((T, R, GH), sdt)],
+                       jax.ShapeDtypeStruct((T, R, H), sdt)],
             scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
             interpret=_interp(),
         )(gates, w, lo, hi, h_prev, g)
-        dw = _dw_einsum(h_prev, dhp, B, dtype)
+        # dW column blocks: gates r,z from the dxs stream (bit-identical
+        # to the old dhp columns), gate n from the dhn stream — the gate
+        # axis is FREE in the einsum, so the split is bitwise-equal to
+        # the former single [T,R,3H] dhp einsum
+        dw = jnp.concatenate([
+            _dw_einsum(h_prev, dxs[..., :2 * H], B, dtype),
+            _dw_einsum(h_prev, dhn, B, dtype)], axis=2)
     else:
         c_prev = _shift_prev(cs)
         kern = functools.partial(_lstm_bwd_kernel, B, H, dtype)
