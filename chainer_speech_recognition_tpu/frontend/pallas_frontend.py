@@ -121,7 +121,7 @@ def _kernel_rows(nbins, ttile, cur_ref, nxt_ref, whi_ref, wlo_ref, mel_ref,
     ~270 MB of HBM round-trip per B64×1024 batch — never exists. The halo
     (rows beyond this tile) comes from a second view of the same array
     shifted one block (+8 rows used)."""
-    rows = jnp.concatenate([cur_ref[0], nxt_ref[0, :8]], axis=0)
+    rows = jnp.concatenate([cur_ref[0], nxt_ref[0]], axis=0)   # +8 halo
     # sublane-shifted slices carry offset layouts Mosaic cannot lane-concat
     # ("offset mismatch on non-concat dimension") — rotate to offset 0 first
     rem = C.N_FFT - _K * C.HOP_LENGTH                      # 32
@@ -185,7 +185,11 @@ def fused_logmel_rows(ext: jnp.ndarray, T: int) -> jnp.ndarray:
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, ttile, C.HOP_LENGTH), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, ttile, C.HOP_LENGTH), lambda b, t: (b, t + 1, 0)),
+            # halo: exactly the 8 rows the kernel reads — a full ttile
+            # block here would double the kernel's signal DMA for 8 rows
+            # of use (ttile % 8 == 0, so block-index units line up)
+            pl.BlockSpec((1, 8, C.HOP_LENGTH),
+                         lambda b, t: (b, (t + 1) * ttile // 8, 0)),
             pl.BlockSpec(w_hi.shape, lambda b, t: (0, 0)),
             pl.BlockSpec(w_lo.shape, lambda b, t: (0, 0)),
             pl.BlockSpec(mel_p.shape, lambda b, t: (0, 0)),

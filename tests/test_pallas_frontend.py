@@ -48,3 +48,23 @@ def test_batch_features_pallas_matches_golden_and_jnp():
         T = ref.shape[0]
         np.testing.assert_allclose(fp[i, :T], ref, atol=2e-3, rtol=1e-3)
         assert np.all(fp[i, T:] == 0)
+
+
+def test_fused_rows_multi_tile_halo_exact():
+    """T > _TTILE exercises the +8-row halo across tile boundaries — the
+    fused-framing kernel must match the framed path EXACTLY at every
+    tile count (the single-tile tests above never read a real halo)."""
+    from chainer_speech_recognition_tpu.frontend.jnp_frontend import (
+        _K, extend_signal, frame_signal)
+    from chainer_speech_recognition_tpu.frontend.pallas_frontend import (
+        _TTILE, fused_logmel, fused_logmel_rows)
+
+    rng = np.random.default_rng(3)
+    for T in (_TTILE + 120, 2 * _TTILE):             # 2 and 3 tiles
+        n = (T - 1) * C.HOP_LENGTH + 37
+        sigs = rng.standard_normal((2, n)).astype(np.float32)
+        lens = jnp.asarray([n, n // 2], jnp.int32)
+        ext = extend_signal(jnp.asarray(sigs), lens, T + _K + 1)
+        a = np.asarray(fused_logmel_rows(ext, T))
+        b = np.asarray(fused_logmel(frame_signal(ext, T)))
+        np.testing.assert_array_equal(a, b)
