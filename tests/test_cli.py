@@ -81,6 +81,7 @@ def test_cli_end_to_end(tmp_path, capsys):
     out_line = [l for l in capsys.readouterr().out.splitlines()
                 if l.startswith(wav)][0]
     assert "\t" in out_line
+    single_utt000 = out_line
 
     # n-best decode through the CLI surface
     decode_cli.main(["--ckpt-dir", ckpt,
@@ -153,6 +154,9 @@ def test_cli_end_to_end(tmp_path, capsys):
                      "--batch", "16", *wavs])
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert [l.split("\t")[0] for l in lines] == wavs
+    # 1 s-quantized chunk padding must not change results: padded frames
+    # are masked end-to-end, so the chunked transcript == single decode
+    assert [l for l in lines if l.startswith(wav)][0] == single_utt000
 
     # chunked BEAM decode runs through the streamed bulk path
     # (beam_decode_stream) — same input-order contract; wavs arrive via
