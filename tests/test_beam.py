@@ -398,3 +398,27 @@ def test_beam_randomized_differential_fuzz():
             ref = beam_decode_reference(lp[b], lens[b], beam=K, lm=lm,
                                         alpha=alpha, beta=beta)
             assert [int(x) for x in dev[b]] == ref, (trial, b, B, T, V, K)
+
+
+def test_lm_fusion_matches_exhaustive_oracle():
+    """INDEPENDENT fusion oracle: with a beam wide enough to hold every
+    prefix, the fused ranking must equal exhaustive path-sum enumeration
+    re-scored as log P_ctc(prefix) + alpha*sequence_logp + beta*len —
+    built directly from NGramLM.score, not from beam_decode_reference
+    (which every other fusion test uses as its own spec)."""
+    vocab = Vocab.build(["あい"], add_unk=False)      # V = 3 (blank, あ, い)
+    lm = NGramLM.train(["あいあい", "いあい"], vocab, order=2)
+    rng = np.random.default_rng(17)
+    for alpha, beta in ((0.7, 0.0), (0.4, 1.1)):
+        logits = rng.standard_normal((1, 4, 3)).astype(np.float32) * 1.5
+        lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))[0]
+        fused = [(np.log(p) + alpha * lm.sequence_logp(pfx)
+                  + beta * len(pfx), pfx)
+                 for pfx, p in ((k, v) for k, v in _exhaustive(lp))]
+        want = list(max(fused)[1])
+        ref = beam_decode_reference(lp, 4, beam=64, lm=lm,
+                                    alpha=alpha, beta=beta)
+        dev = beam_decode(logits, np.asarray([4]), beam=16, lm=lm,
+                          alpha=alpha, beta=beta)
+        assert ref == want, (alpha, beta, ref, want)
+        assert [int(x) for x in dev[0]] == want, (alpha, beta)

@@ -37,6 +37,14 @@ def _setup(tmp_path):
 
 def test_save_restore_bitwise(tmp_path):
     cfg, model, state, _ = _setup(tmp_path)
+    # a FRESH state has all-zero Adam moments and step=0 — identical to
+    # the zeros template below, which would make those comparisons
+    # vacuous (a restore that silently zero-filled opt_state would pass).
+    # Fill every leaf with distinct nonzero values first.
+    leaves, treedef = jax.tree.flatten(state)
+    leaves = [jnp.full_like(l, (i % 7) + 1) for i, l in enumerate(leaves)]
+    state = jax.tree.unflatten(treedef, leaves)
+    assert all(float(jnp.abs(l).min()) > 0 for l in jax.tree.leaves(state))
     path = save_checkpoint(cfg.train.checkpoint_dir, state, cfg)
     assert os.path.exists(path)
     # template with different values restores exactly

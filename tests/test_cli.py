@@ -73,7 +73,8 @@ def test_cli_end_to_end(tmp_path, capsys):
     evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out])
     cer_line = [l for l in capsys.readouterr().out.splitlines()
                 if l.startswith("CER")][0]
-    assert "CER" in cer_line
+    cer_val = float(cer_line.split()[1])
+    assert np.isfinite(cer_val) and 0.0 <= cer_val < 1.5, cer_line
 
     wav = os.path.join(corpus, "utt000.wav")
     decode_cli.main(["--ckpt-dir", ckpt,
@@ -106,7 +107,8 @@ def test_cli_end_to_end(tmp_path, capsys):
                        "--hyp-out", hyp_path])
     beam_line = [l for l in capsys.readouterr().out.splitlines()
                  if l.startswith("CER")][0]
-    assert "CER" in beam_line
+    beam_cer = float(beam_line.split()[1])
+    assert np.isfinite(beam_cer) and 0.0 <= beam_cer < 1.5, beam_line
     hyp_rows = [l.split("\t") for l in open(hyp_path, encoding="utf-8")]
     assert len(hyp_rows) == 8 and all(len(r) == 2 for r in hyp_rows)
 
@@ -232,7 +234,8 @@ def test_cli_end_to_end_mora_units(tmp_path, capsys):
     evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out])
     cer_line = [l for l in capsys.readouterr().out.splitlines()
                 if l.startswith("CER")][0]
-    assert "CER" in cer_line
+    cer_val = float(cer_line.split()[1])
+    assert np.isfinite(cer_val) and 0.0 <= cer_val < 1.5, cer_line
 
     wav = os.path.join(corpus, "utt000.wav")
     decode_cli.main(["--ckpt-dir", ckpt,

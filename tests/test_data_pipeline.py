@@ -172,8 +172,8 @@ def test_wav_resample_and_stereo_downmix(tmp_path):
     write_wav(st, inter, channels=2)
     got = read_wav(st)
     np.testing.assert_allclose(got, (left + right) / 2, atol=1e-4)
-    # identity: 16 kHz passthrough untouched
-    assert resample_sinc(tone, 16000, 16000) is not None
+    # identity: 16 kHz passthrough returns the input UNTOUCHED
+    np.testing.assert_array_equal(resample_sinc(tone, 16000, 16000), tone)
 
 
 def test_mora_segmenter_and_multiunit_vocab():
@@ -211,8 +211,11 @@ def test_prefetcher_early_stop(tmp_path):
         if not alive:
             break
         time.sleep(0.05)
-    # pool threads may idle-park, but no queued work remains and a fresh
-    # iteration after stop() yields nothing
+    # the claim in this test's name: worker threads actually TERMINATE
+    # (cancel_futures in Prefetcher.stop) — polling without asserting
+    # would pass even if stop() leaked the pool
+    assert not alive, f"loader threads still alive after stop(): {alive}"
+    # and a fresh iteration after stop() yields nothing
     assert list(iter(pf)) == []
 
 

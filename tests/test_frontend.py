@@ -31,9 +31,14 @@ def test_mel_filterbank_shape_and_coverage():
     fb = g.mel_filterbank()
     assert fb.shape == (C.N_MELS, 1 + C.N_FFT // 2)
     assert np.all(fb >= 0)
-    # every mel filter has nonzero area; interior fft bins are covered
+    # every mel filter has nonzero area
     assert np.all(fb.sum(axis=1) > 0)
-    assert np.all(fb[:, 1:-1].sum(axis=0)[np.newaxis] >= 0)
+    # interior fft bins inside the mel range are STRICTLY covered (no gap
+    # between adjacent triangles); >= 0 would be a tautology of fb >= 0
+    lo = np.flatnonzero(fb.sum(axis=0) > 0)[0]
+    hi = np.flatnonzero(fb.sum(axis=0) > 0)[-1]
+    assert hi - lo > fb.shape[1] // 2          # a real span of the axis
+    assert np.all(fb[:, lo:hi + 1].sum(axis=0) > 0)
 
 
 def test_num_frames_convention():

@@ -24,6 +24,15 @@ def test_edit_distance_differential():
 
 
 def test_edit_distance_strings_route_through_native():
+    # first, verify the ROUTING claim in this test's name: the native
+    # entry point actually answers for ord()-mapped strings (a silent
+    # fallback to edit_distance_py would make the value checks vacuous)
+    from chainer_speech_recognition_tpu.utils.native import (
+        edit_distance_native, get_lib)
+    if get_lib() is not None:
+        assert edit_distance_native(
+            [ord(c) for c in "こんにちは"],
+            [ord(c) for c in "こんばんは"]) == 2
     assert edit_distance("kitten", "sitting") == 3
     assert edit_distance("こんにちは", "こんばんは") == 2
     assert edit_distance("", "") == 0

@@ -170,6 +170,21 @@ def test_specaugment_invariants():
     assert (out == 0).mean() > 0.01                # something was masked
     # masks differ across utterances
     assert not np.array_equal(out[0], out[1])
+    # time masks are sampled within each utterance's VALID length: a
+    # fully-zero time row can only come from a time mask (freq masks
+    # never cover all F), and its start lies in [0, max(len-width, 1)),
+    # so no masked row may reach past len + time_mask_max. Sampling over
+    # the padded T instead of len (the regression this pins) would mask
+    # rows far past the short utterances' lengths.
+    lens_np = np.asarray(lens)
+    for key in range(8):
+        o = np.asarray(apply_specaugment(jax.random.key(key), feats, lens,
+                                         cfg.specaugment))
+        zero_rows = (o == 0).all(axis=(2, 3))            # [B, T]
+        for b, L in enumerate(lens_np):
+            hit = np.flatnonzero(zero_rows[b])
+            assert hit.size == 0 or hit.max() < L + cfg.specaugment.time_mask_max, \
+                (key, b, int(L), int(hit.max()))
     # disabled config is identity
     cfg1 = preset_config("tiny_conv")
     out2 = apply_specaugment(jax.random.key(0), feats, lens, cfg1.specaugment)
