@@ -131,7 +131,7 @@ def main(argv=None):
         # same front-end implementation the checkpoint was trained with
         feats, flens = select_frontend(cfg.features)(
             jnp.asarray(signals), jnp.asarray(lens),
-            apply_cmvn=cfg.features.cmvn)
+            apply_cmvn=cfg.features.cmvn_arg)
         return forward(state.params, feats, flens)
 
     if args.beam > 0 and args.nbest > 1:

@@ -27,6 +27,11 @@ def main(argv=None):
                    help="precompute golden log-mel+Δ features to .npy "
                         "(reference-style cache; on-device front-end is the "
                         "default and needs no cache)")
+    p.add_argument("--cmvn-mode", default="utterance",
+                   choices=["utterance", "causal"],
+                   help="CMVN mode for --cache-features; must match the "
+                        "features.cmvn_mode the model will train with "
+                        "(causal = the streamable mode, decode/streaming.py)")
     p.add_argument("--no-cmvn", action="store_true",
                    help="with --cache-features: skip utterance CMVN")
     p.add_argument("--unit", default="char", choices=["char", "mora"],
@@ -83,8 +88,9 @@ def main(argv=None):
         for u in utts:
             path = os.path.join(feat_dir, u.utt_id.replace("/", "__") + ".npy")
             if not os.path.exists(path):
-                f = golden_features(load_signal(u, cached_read),
-                                    apply_cmvn=not args.no_cmvn)
+                f = golden_features(
+                    load_signal(u, cached_read),
+                    apply_cmvn=False if args.no_cmvn else args.cmvn_mode)
                 np.save(path, f)
             cached.append(dataclasses.replace(u, feat=path))
         utts = cached

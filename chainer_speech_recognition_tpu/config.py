@@ -35,6 +35,11 @@ class FeatureConfig:
     log_eps: float = C.LOG_EPS
     delta_window: int = C.DELTA_WINDOW
     cmvn: bool = True               # per-utterance CMVN (config 3, BASELINE.json:9)
+    cmvn_mode: str = "utterance"    # "utterance" (reference convention) |
+                                    # "causal" (running stats up to each
+                                    # frame — the streamable mode required
+                                    # by decode/streaming.py; train with it
+                                    # to deploy the model online)
     use_cache: bool = False         # feed precomputed .npy features instead of
                                     # running the on-device front-end (§2.1)
     frontend_impl: str = "auto"     # "auto" | "jnp" | "pallas": auto = fused
@@ -57,6 +62,17 @@ class FeatureConfig:
                     f"constant {want!r} (constants.py) — the DSP parameters "
                     "are not tunable; change constants.py and regenerate the "
                     "golden fixtures if you really mean to move the spec")
+        if self.cmvn_mode not in ("utterance", "causal"):
+            raise ValueError(
+                f"features.cmvn_mode={self.cmvn_mode!r}: expected "
+                "'utterance' or 'causal'")
+
+    @property
+    def cmvn_arg(self):
+        """The ``apply_cmvn`` argument for the front-end implementations:
+        False | "utterance" | "causal". Every feature call site routes
+        through this so the mode cannot be half-applied."""
+        return self.cmvn_mode if self.cmvn else False
 
 
 @dataclass(frozen=True)

@@ -45,7 +45,7 @@ def _feature_builder(mesh, axis, features_cfg, cache_dtype, chunk):
 
     frontend = select_frontend(features_cfg)
     cdt = jnp.dtype(cache_dtype)
-    apply_cmvn = features_cfg.cmvn
+    apply_cmvn = features_cfg.cmvn_arg
 
     def local(sig, num):                       # [R, S] int16, [R] int32
         R = sig.shape[0]

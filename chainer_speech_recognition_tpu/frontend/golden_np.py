@@ -18,7 +18,7 @@ from .. import constants as C
 
 __all__ = [
     "hann_periodic", "mel_filterbank", "stft_power", "log_mel",
-    "delta", "cmvn", "features",
+    "delta", "cmvn", "cmvn_causal", "features",
 ]
 
 
@@ -125,15 +125,40 @@ def cmvn(feat: np.ndarray) -> np.ndarray:
     return ((x - mean) / np.sqrt(var + C.CMVN_VAR_EPS)).astype(np.float32)
 
 
-def features(signal: np.ndarray, apply_cmvn: bool = True) -> np.ndarray:
+def cmvn_causal(feat: np.ndarray) -> np.ndarray:
+    """Causal (streaming) mean/variance normalization: frame ``t`` is
+    normalized by the running statistics of frames ``0..t`` only.
+
+    This is the streamable alternative to per-utterance CMVN — the
+    reference's utterance CMVN needs the whole utterance before the first
+    frame can be normalized, so an online recognizer cannot use it. The
+    causal form is exactly chunk-invariant: computing it over any chunking
+    of the stream (carrying count / Σx / Σx² across chunks) reproduces the
+    full-utterance result bit-for-bit (decode/streaming.py relies on this;
+    differential test in tests/test_streaming.py). Frame 0 normalizes to
+    exactly zero (its running mean is itself) — models trained with
+    ``features.cmvn_mode="causal"`` adapt to the warm-up transient.
+    """
+    x = np.asarray(feat, dtype=np.float64)
+    cnt = np.arange(1, len(x) + 1, dtype=np.float64)[:, None]
+    mean = np.cumsum(x, axis=0) / cnt
+    var = np.cumsum(x * x, axis=0) / cnt - mean * mean
+    return ((x - mean) / np.sqrt(np.maximum(var, 0.0) + C.CMVN_VAR_EPS)
+            ).astype(np.float32)
+
+
+def features(signal: np.ndarray, apply_cmvn=True) -> np.ndarray:
     """Full front-end: 1-D PCM → float32 [T, n_mels, 3] (static, Δ, ΔΔ).
 
     CMVN (when enabled) is applied to the static log-mel BEFORE the deltas are
     computed, matching classic fbank pipelines where deltas are taken on the
-    normalized stream.
+    normalized stream. ``apply_cmvn``: False | True/"utterance" | "causal"
+    (mirrors the device front-ends' argument).
     """
     lm = log_mel(signal)
-    if apply_cmvn:
+    if apply_cmvn == "causal":
+        lm = cmvn_causal(lm)
+    elif apply_cmvn:
         lm = cmvn(lm)
     d1 = delta(lm)
     d2 = delta(d1)

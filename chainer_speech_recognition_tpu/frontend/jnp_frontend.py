@@ -173,17 +173,65 @@ def batch_features(
     return postprocess_logmel(logmel, lengths, t_max, apply_cmvn)
 
 
-def postprocess_logmel(logmel, lengths, t_max: int, apply_cmvn: bool):
+def cmvn_causal_jnp(logmel: jnp.ndarray, tmask: jnp.ndarray,
+                    carry=None, carry_index: int | None = None):
+    """Causal CMVN (frame ``t`` normalized by running stats of frames
+    ``0..t``): the streamable alternative to utterance CMVN — see
+    ``golden_np.cmvn_causal`` for semantics and the chunk-invariance
+    contract. ``carry`` (cnt [B,1,1], Σx, Σx² [B,1,F]) holds the stats of
+    frames BEFORE this window (streaming chunks); returns the normalized
+    window plus the stats through frame ``carry_index`` (exclusive; default:
+    the final VALID frame of the window) so a caller can chain chunks
+    exactly — a streaming step whose next window re-reads some margin
+    frames passes the margin start as ``carry_index``."""
+    m = tmask[..., None].astype(jnp.float32)
+    if carry is None:
+        # fp32 one-pass E[x²]−E[x]² cancels catastrophically at log-mel
+        # magnitudes (x ≈ −23, var ≈ 1 ⇒ ~3 digits lost); running the
+        # moments on the variance-invariant shifted stream x − x[0]
+        # keeps them at deviation scale. The offset rides in the carry so
+        # chunked computation stays exactly equivalent.
+        off = logmel[:, :1]                     # first frame (always valid)
+        c0 = s0 = q0 = 0.0
+    else:
+        c0, s0, q0, off = carry
+    x = (logmel - off) * m
+    cnt_true = jnp.cumsum(m, axis=1) + c0        # unfloored, for the carry
+    cnt = jnp.maximum(cnt_true, 1.0)
+    s1 = jnp.cumsum(x, axis=1) + s0
+    s2 = jnp.cumsum(x * x, axis=1) + q0
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    out = (x - mean) * jax.lax.rsqrt(var + C.CMVN_VAR_EPS) * m
+    j = -1 if carry_index is None else carry_index - 1
+    if carry_index == 0:       # carry stats through frame -1 = the input carry
+        z = jnp.zeros_like(s1[:, :1])
+        new_carry = ((jnp.zeros_like(cnt_true[:, :1]) + c0, z + s0, z + q0, off)
+                     if carry is not None else
+                     (jnp.zeros_like(cnt_true[:, :1]), z, z, off))
+    else:
+        new_carry = (cnt_true[:, j:][:, :1], s1[:, j:][:, :1],
+                     s2[:, j:][:, :1], off)
+    return out, new_carry
+
+
+def postprocess_logmel(logmel, lengths, t_max: int, apply_cmvn):
     """Shared tail of BOTH front-ends (jnp and Pallas): padding mask →
-    per-utterance CMVN over valid frames → Δ/ΔΔ with edge replication →
-    channel stack. One implementation so the differential-tested parity
-    pair cannot silently diverge on these semantics."""
+    CMVN over valid frames → Δ/ΔΔ with edge replication → channel stack.
+    One implementation so the differential-tested parity pair cannot
+    silently diverge on these semantics.
+
+    ``apply_cmvn``: False (off) | True / "utterance" (per-utterance stats,
+    the reference's convention) | "causal" (running stats up to each frame
+    — the streamable mode, features.cmvn_mode="causal")."""
     flens = frame_lengths(lengths)                          # [B]
     tmask = (jnp.arange(t_max)[None, :] < flens[:, None])   # [B, T]
     logmel = logmel * tmask[..., None]                      # zero padded frames
 
-    # --- per-utterance CMVN over valid frames -----------------------------
-    if apply_cmvn:
+    if apply_cmvn == "causal":
+        logmel, _ = cmvn_causal_jnp(logmel, tmask)
+    elif apply_cmvn:
+        # --- per-utterance CMVN over valid frames -------------------------
         m = tmask[..., None].astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
         mean = jnp.sum(logmel * m, axis=1, keepdims=True) / cnt

@@ -65,7 +65,7 @@ def _forward_loss(model, cfg: Config, params, batch, rng, train: bool,
     else:                            # on-device front-end (default TPU path)
         feats, flens = _frontend(cfg)(
             _signals(batch), batch["num_samples"],
-            apply_cmvn=cfg.features.cmvn)
+            apply_cmvn=cfg.features.cmvn_arg)
     if train and cfg.specaugment.enabled:
         feats = apply_specaugment(rng, feats, flens, cfg.specaugment)
     logits, olens = model.apply(params, feats, flens)
@@ -204,7 +204,7 @@ def _eval_forward(model, cfg: Config, params, batch):
     else:
         feats, flens = _frontend(cfg)(
             _signals(batch), batch["num_samples"],
-            apply_cmvn=cfg.features.cmvn)
+            apply_cmvn=cfg.features.cmvn_arg)
     logits, olens = model.apply(params, feats, flens)
     losses = ctc_loss(logits, olens, batch["labels"], batch["label_lengths"])
     return losses, logits, olens
