@@ -1,0 +1,337 @@
+"""Online (streaming) recognition: latency-controlled chunked inference.
+
+The reference is an offline, whole-utterance recognizer (SURVEY.md §3.4-3.5
+— decode always sees the full wav). This module adds what the reference
+never had: a production streaming path that transcribes audio incrementally
+with bounded latency, built TPU-native — ONE compiled step of static shapes
+per chunk (two specializations: first window / steady state), all state in
+small device-resident carries, B concurrent streams advancing in lockstep
+through the same jit.
+
+How each model component streams
+--------------------------------
+* **Front-end**: framing/STFT/mel are local (±256 samples); the PCM window
+  simply includes that margin. CMVN must be ``features.cmvn_mode="causal"``
+  (running stats up to each frame — utterance CMVN needs the whole
+  utterance before frame 0 can be normalized), carried across chunks as
+  (count, Σx, Σx², offset); the chunked computation is exactly equivalent
+  to the offline causal front-end. Δ/ΔΔ need ±4 frames, covered by the
+  window's delta margin.
+* **Conv stack**: finite receptive field — the window carries a left
+  margin of ``model.conv_receptive_margin()`` frames (recomputed each
+  chunk, discarded after the convs), so interior conv outputs are
+  identical to the full-utterance computation.
+* **BiRNN stack**: the forward direction is causal and carries its state
+  across chunk boundaries EXACTLY (models/rnn.py ``h0_fwd`` /
+  ``emit_carry_at``). The backward direction starts fresh at the window's
+  right edge and runs leftward over chunk + ``right_frames`` lookahead —
+  the latency-controlled BiRNN approximation: each emitted frame sees at
+  least ``right_frames`` of real future context. When a window reaches the
+  true utterance end the computation is EXACT (tests/test_streaming.py
+  asserts streaming == offline in that regime).
+* **Greedy CTC collapse**: argmax per frame with the previous chunk's last
+  raw frame id carried, so repeats collapse correctly across boundaries.
+
+Latency = (chunk_frames + right_frames) × 10 ms of audio buffering plus
+one step of compute; throughput scales with the lockstep batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..constants import BLANK_ID
+
+_D = 2 * C.DELTA_WINDOW          # logmel margin the Δ/ΔΔ stack needs (4)
+_PAD = C.N_FFT // 2              # centered-STFT half window (256 samples)
+_K = C.N_FFT // C.HOP_LENGTH     # full hop rows per frame (3)
+
+__all__ = ["StreamingRecognizer", "stream_geometry"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def stream_geometry(model, chunk_frames: int, right_frames: int,
+                    left_margin: int | None = None):
+    """Resolve the chunk geometry (all in 10 ms feature frames, rounded to
+    the conv subsampling factor ``s``):
+
+    * ``C``  emitted frames per step, ``R`` lookahead frames;
+    * ``La`` left recompute margin (≥ the conv stack's one-sided receptive
+      field) — window-edge conv outputs inside it are discarded;
+    * first window covers logmel frames ``[0, C+R+D)``; steady-state
+      windows cover ``[t0−La−D, t0+C+R+D)`` where D is the Δ/ΔΔ margin.
+    """
+    s = model.subsample_factor()
+    Cf = _round_up(max(chunk_frames, s), s)
+    Rf = _round_up(max(right_frames, 0), s)
+    La = _round_up(model.conv_receptive_margin() if left_margin is None
+                   else left_margin, s)
+    # steady-state windows start at t0 − La − D: the second window (t0 = C)
+    # must not reach before the stream start, and the first window's CMVN
+    # carry index C − La − D must cover ≥ 1 frame
+    min_c = _round_up(La + _D + 1, s)
+    if Cf < min_c:
+        Cf = min_c
+    return {"s": s, "C": Cf, "R": Rf, "La": La,
+            "W_first": Cf + Rf + _D,              # logmel frames, first
+            "W_mid": La + _D + Cf + Rf + _D}      # logmel frames, steady
+
+
+def _window_logits(model, params, ext, frame_valid, cmvn_carry, rnn_carries,
+                   *, W_lm, lo, W_ft, drop_left, carry_at, cmvn_index,
+                   use_cmvn):
+    """Shared device math of both window variants: PCM window → causal
+    features → streaming model apply. Returns (logits, emit_lens,
+    new_cmvn_carry, new_rnn_carries)."""
+    from ..frontend.jnp_frontend import (_delta, _tables, cmvn_causal_jnp,
+                                         frame_signal)
+
+    win_full, mel = _tables()
+    frames = frame_signal(ext, W_lm) * jnp.asarray(win_full)[None, None, :]
+    spec = jnp.fft.rfft(frames, n=C.N_FFT, axis=-1)
+    power = (spec.real.astype(jnp.float32) ** 2
+             + spec.imag.astype(jnp.float32) ** 2)
+    melspec = jnp.einsum("btf,fm->btm", power, jnp.asarray(mel),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    logmel = jnp.log(jnp.maximum(melspec, C.LOG_EPS))       # [B, W_lm, M]
+
+    tmask = (jnp.arange(W_lm, dtype=jnp.int32)[None, :]
+             < frame_valid[:, None])
+    logmel = logmel * tmask[..., None]
+    if use_cmvn:
+        norm, new_cmvn = cmvn_causal_jnp(logmel, tmask, carry=cmvn_carry,
+                                         carry_index=cmvn_index)
+    else:
+        norm, new_cmvn = logmel, ()
+    d1 = _delta(norm, frame_valid)
+    d2 = _delta(d1, frame_valid)
+    feats = jnp.stack([norm, d1, d2], axis=-1)              # [B, W_lm, M, 3]
+    feats = feats * tmask[..., None, None]
+    feats = feats[:, lo : lo + W_ft]
+    feat_valid = jnp.clip(frame_valid - lo, 0, W_ft)
+
+    logits, lens, new_rnn = model.apply(
+        params, feats.astype(jnp.float32), feat_valid,
+        rnn_carries=rnn_carries, carry_at=carry_at, drop_left=drop_left)
+    return logits, lens, new_cmvn, new_rnn
+
+
+def _emit_greedy(logits, lens, prev_id, C_s):
+    """Greedy collapse over the emitted chunk with the previous chunk's
+    last raw frame id carried (matches decode/greedy.py semantics across
+    chunk boundaries)."""
+    ids = jnp.argmax(logits[:, :C_s], axis=-1).astype(jnp.int32)  # [B, C_s]
+    n = jnp.clip(lens, 0, C_s)                                    # [B]
+    prev = jnp.concatenate([prev_id[:, None], ids[:, :-1]], axis=1)
+    valid = jnp.arange(C_s, dtype=jnp.int32)[None, :] < n[:, None]
+    keep = (ids != BLANK_ID) & (ids != prev) & valid
+    last = jnp.where(n > 0, jnp.take_along_axis(
+        ids, jnp.maximum(n - 1, 0)[:, None], axis=1)[:, 0], prev_id)
+    return ids, keep, n, last
+
+
+class StreamingRecognizer:
+    """Incremental recognizer over ``batch`` lockstep PCM streams.
+
+    >>> rec = StreamingRecognizer(model, params, cfg, batch=1)
+    >>> for block in audio_blocks:          # arbitrary-size PCM pieces
+    ...     new_ids = rec.accept(block)     # tokens finalized so far
+    >>> tail = rec.flush()                  # end the utterances
+    >>> full = rec.emitted                  # all ids per stream
+
+    Requires ``features.cmvn_mode == "causal"`` (train the model with it).
+    ``accept`` feeds every stream the same number of samples (lockstep
+    serving); streams of different true lengths end via
+    ``flush(num_samples=[...])``.
+    """
+
+    def __init__(self, model, params, cfg, *, batch: int = 1,
+                 chunk_frames: int = 64, right_frames: int = 16,
+                 left_margin: int | None = None):
+        if cfg.features.cmvn_arg not in (False, "causal"):
+            raise ValueError(
+                "streaming needs features.cmvn_mode='causal' (or cmvn off): "
+                "utterance CMVN cannot be computed online — retrain the "
+                f"model accordingly (got cmvn_arg={cfg.features.cmvn_arg!r})")
+        if cfg.features.use_cache:
+            raise ValueError("streaming computes features on device; "
+                             "features.use_cache is incompatible")
+        self.model, self.params, self.cfg = model, params, cfg
+        self.batch = batch
+        g = stream_geometry(model, chunk_frames, right_frames, left_margin)
+        self.geo = g
+        s = g["s"]
+        self._C_s = g["C"] // s
+
+        mk = functools.partial(self._make_step, model)
+        # first window: logmel [0, C+R+D), no margins, offline start edge
+        self._step_first = mk(W_lm=g["W_first"], lo=0, W_ft=g["C"] + g["R"],
+                              drop_left=0, carry_at=self._C_s,
+                              cmvn_index=g["C"] - g["La"] - _D, first=True)
+        # steady state: logmel [t0−La−D, t0+C+R+D)
+        self._step_mid = mk(W_lm=g["W_mid"], lo=_D,
+                            W_ft=g["La"] + g["C"] + g["R"],
+                            drop_left=g["La"] // s, carry_at=self._C_s,
+                            cmvn_index=g["C"], first=False)
+        self.reset()
+
+    def _make_step(self, model, *, W_lm, lo, W_ft, drop_left, carry_at,
+                   cmvn_index, first):
+        C_s = self._C_s
+
+        use_cmvn = bool(self.cfg.features.cmvn_arg)
+
+        def step(params, ext, frame_valid, cmvn_carry, rnn_carries, prev_id):
+            logits, lens, new_cmvn, new_rnn = _window_logits(
+                model, params, ext, frame_valid,
+                None if first else cmvn_carry, rnn_carries,
+                W_lm=W_lm, lo=lo, W_ft=W_ft, drop_left=drop_left,
+                carry_at=carry_at, cmvn_index=cmvn_index,
+                use_cmvn=use_cmvn)
+            ids, keep, n, last = _emit_greedy(logits, lens, prev_id, C_s)
+            return ids, keep, n, (new_cmvn, new_rnn, last)
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------- state --
+
+    def reset(self) -> None:
+        B = self.batch
+        self._buf = np.zeros((B, 0), np.float32)
+        self._n = 0                      # buffered samples (per stream)
+        self._t0 = 0                     # next emit frame
+        self._first = True
+        self._cmvn = None                # device carry after first window
+        self._rnn = [jnp.asarray(h) for h in
+                     self.model.init_stream_carries(B)]
+        self._prev = jnp.full((B,), BLANK_ID, jnp.int32)
+        self._out: list[list[int]] = [[] for _ in range(B)]
+        self._emitted_upto = [0] * B     # consumed ids per stream
+        self._finished = False
+
+    @property
+    def emitted(self) -> list[list[int]]:
+        """All token ids emitted so far, per stream."""
+        return [list(o) for o in self._out]
+
+    # ------------------------------------------------------------- input --
+
+    def accept(self, pcm, drain: bool = True) -> list[list[int]]:
+        """Append PCM (``[n]`` or ``[batch, n]``, float in [-1, 1] or
+        int16) to every stream and return the ids newly finalized by any
+        chunks that became ready.
+
+        Every sample fed here is treated as REAL audio for every stream —
+        in lockstep serving, feed only common real audio and end the
+        utterances with ``flush``. To batch-decode streams of different
+        true lengths through the streaming path, buffer with
+        ``drain=False`` and let ``flush(num_samples=[...])`` emit every
+        window with per-stream validity."""
+        if self._finished:
+            raise RuntimeError("stream finished; call reset()")
+        x = np.asarray(pcm)
+        if x.ndim == 1:
+            x = np.broadcast_to(x[None], (self.batch, x.shape[0]))
+        if x.dtype == np.int16:
+            x = x.astype(np.float32) / 32768.0
+        x = x.astype(np.float32, copy=False)
+        if x.shape[0] != self.batch:
+            raise ValueError(f"expected {self.batch} streams, got {x.shape}")
+        self._buf = np.concatenate([self._buf, x], axis=1)
+        self._n += x.shape[1]
+        if not drain:
+            return [[] for _ in range(self.batch)]
+        return self._drain(finishing=False, total_frames=None)
+
+    def flush(self, num_samples=None) -> list[list[int]]:
+        """End the streams (optionally with per-stream true sample counts
+        ≤ the fed length) and return the remaining ids."""
+        if self._finished:
+            return [[] for _ in range(self.batch)]
+        if num_samples is None:
+            ns = np.full((self.batch,), self._n, np.int64)
+        else:
+            ns = np.asarray(num_samples, np.int64)
+            if ns.shape != (self.batch,) or np.any(ns > self._n):
+                raise ValueError("num_samples must be [batch] and <= fed "
+                                 f"samples ({self._n})")
+        self._finished = True
+        total = 1 + ns // C.HOP_LENGTH                 # num_frames per stream
+        out = self._drain(finishing=True, total_frames=total, lengths=ns)
+        return out
+
+    # ------------------------------------------------------------ driver --
+
+    def _drain(self, *, finishing, total_frames, lengths=None):
+        g = self.geo
+        new: list[list[int]] = [[] for _ in range(self.batch)]
+        while True:
+            if self._first:
+                W_lm, g0 = g["W_first"], 0
+            else:
+                W_lm, g0 = g["W_mid"], self._t0 - g["La"] - _D
+            if finishing:
+                if self._t0 >= int(total_frames.max()):
+                    break
+            else:
+                # steady state needs every window frame fully real
+                need = (g0 + W_lm - 1) * C.HOP_LENGTH + _PAD
+                if self._n < need or (self._first and self._n < _PAD + 1):
+                    break
+            ext = self._assemble(g0, W_lm, lengths if finishing else None)
+            if finishing:
+                fv = np.clip(total_frames - g0, 0, W_lm).astype(np.int32)
+            else:
+                fv = np.full((self.batch,), W_lm, np.int32)
+            step = self._step_first if self._first else self._step_mid
+            ids, keep, n, (cmvn, rnn, prev) = step(
+                self.params, jnp.asarray(ext), jnp.asarray(fv),
+                self._cmvn, self._rnn, self._prev)
+            self._cmvn, self._rnn, self._prev = cmvn, rnn, prev
+            ids = np.asarray(ids)
+            keep = np.asarray(keep)
+            for b in range(self.batch):
+                kept = ids[b][keep[b]].tolist()
+                self._out[b].extend(kept)
+                new[b].extend(kept)
+            self._t0 += g["C"]
+            self._first = False
+        return new
+
+    def _assemble(self, g0: int, W_lm: int, lengths) -> np.ndarray:
+        """Host window assembly: PCM samples (with start/end reflection
+        where the window overlaps a stream boundary) laid out so that
+        ``frame_signal`` position p ↔ sample ``g0·HOP − 256 + p``."""
+        B = self.batch
+        SZ = (W_lm + _K + 1) * C.HOP_LENGTH
+        start = g0 * C.HOP_LENGTH - _PAD
+        ext = np.zeros((B, SZ), np.float32)
+        for b in range(B):
+            L = int(lengths[b]) if lengths is not None else self._n
+            buf = self._buf[b]
+            # real samples [max(start,0), min(L, start+SZ))
+            s0 = max(start, 0)
+            s1 = min(L, start + SZ)
+            if s1 > s0:
+                ext[b, s0 - start : s1 - start] = buf[s0:s1]
+            if start < 0 and L >= 1:
+                # start reflection: sample −k = buf[k], k = 1.._PAD
+                # (clipped to the true length for degenerate tiny streams)
+                k = np.minimum(np.arange(1, -start + 1), max(L - 1, 0))
+                ext[b, :-start] = buf[k][::-1]
+            if lengths is not None and L < start + SZ and L >= 1:
+                # end reflection: sample L+k = buf[L−2−k], k = 0.._PAD−1
+                k0 = max(L, start)                     # first refl sample
+                kk = np.arange(k0, min(L + _PAD, start + SZ))
+                src = np.clip(L - 2 - (kk - L), 0, max(L - 1, 0))
+                ext[b, kk - start] = buf[src]
+        return ext

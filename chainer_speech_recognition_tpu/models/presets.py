@@ -21,8 +21,25 @@ class AcousticModel(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, lengths: jnp.ndarray):
+    def __call__(self, feats: jnp.ndarray, lengths: jnp.ndarray,
+                 rnn_carries=None, carry_at: int | None = None,
+                 drop_left: int = 0):
+        """Full-utterance call: ``(feats [B,T,F,3], lengths) → (logits, lens)``.
+
+        Streaming call (decode/streaming.py): ``rnn_carries`` is the list
+        of per-layer forward-direction states carried from the previous
+        chunk ([] for conv-only models), ``carry_at`` the static chunk
+        length in SUBSAMPLED frames, and ``drop_left`` the number of
+        subsampled left-margin frames to discard after the conv stack
+        (they only exist to give the convs a real receptive field at the
+        window edge). Returns ``(logits, lens, new_carries)``; parameters
+        are identical to the full-utterance call, so any trained
+        checkpoint can be served streaming.
+        """
         cfg = self.cfg
+        stream = rnn_carries is not None
+        if stream and carry_at is None:
+            raise ValueError("streaming call needs carry_at")
         dtype = jnp.dtype(cfg.compute_dtype)
         x, lens = ConvSubsampler(
             channels=tuple(cfg.conv_channels),
@@ -36,12 +53,23 @@ class AcousticModel(nn.Module):
             x = GLUConvBlock(channels=cfg.glu_channels, dtype=dtype,
                              name=f"glu{i}")(x, lens)
 
+        if drop_left:
+            x = x[:, drop_left:]
+            lens = jnp.maximum(lens - drop_left, 0)
+
+        new_carries = []
         if cfg.rnn_type != "none":
             for i in range(cfg.rnn_layers):
-                x = BiRNNLayer(
+                layer = BiRNNLayer(
                     hidden=cfg.rnn_hidden, cell=cfg.rnn_type, dtype=dtype,
                     remat=cfg.remat_rnn, impl=cfg.rnn_impl, name=f"birnn{i}",
-                )(x, lens)
+                )
+                if stream:
+                    x, h = layer(x, lens, h0_fwd=rnn_carries[i],
+                                 emit_carry_at=carry_at)
+                    new_carries.append(h)
+                else:
+                    x = layer(x, lens)
 
         if cfg.proj_dim:
             x = nn.tanh(nn.Dense(cfg.proj_dim, dtype=dtype,
@@ -51,6 +79,8 @@ class AcousticModel(nn.Module):
                           param_dtype=jnp.float32, name="output")(x.astype(jnp.float32))
         mask = time_mask(logits.shape[1], lens)
         logits = logits * mask[:, :, None]
+        if stream:
+            return logits, lens, new_carries
         return logits, lens
 
     def subsample_factor(self) -> int:
@@ -58,6 +88,32 @@ class AcousticModel(nn.Module):
         for s in self.cfg.conv_stride_time:
             f *= s
         return f
+
+    def init_stream_carries(self, batch: int) -> list:
+        """Zero forward-direction RNN states for a fresh stream (one per
+        BiRNN layer; [] for conv-only models)."""
+        cfg = self.cfg
+        if cfg.rnn_type == "none":
+            return []
+        dim = cfg.rnn_hidden * (2 if cfg.rnn_type == "lstm" else 1)
+        return [jnp.zeros((batch, dim), jnp.float32)
+                for _ in range(cfg.rnn_layers)]
+
+    def conv_receptive_margin(self) -> int:
+        """Input-frame margin that fully covers the conv (+GLU) stack's
+        one-sided receptive field: window-edge conv outputs farther than
+        this many INPUT frames from the edge are identical to the
+        full-utterance computation (decode/streaming.py uses it as the
+        left-margin floor)."""
+        cfg = self.cfg
+        kt = cfg.conv_kernel[0]
+        rf, jump = 1, 1                    # receptive field, input stride
+        for st in cfg.conv_stride_time:
+            rf += (kt - 1) * jump
+            jump *= st
+        # GLU blocks run at the subsampled rate; kernel_time=5 each
+        rf += cfg.glu_blocks * 4 * jump
+        return (rf - 1) // 2 + 1
 
 
 def build_model(cfg: ModelConfig) -> AcousticModel:

@@ -68,7 +68,29 @@ class BiRNNLayer(nn.Module):
     impl: str = "auto"                 # "auto" | "scan" | "pallas"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
+                 h0_fwd: jnp.ndarray | None = None,
+                 emit_carry_at: int | None = None):
+        """Full-utterance call: ``(x [B,T,D], lengths) → [B,T,2H]``.
+
+        Streaming call (decode/streaming.py): pass ``h0_fwd`` ([B, H] for
+        GRU / [B, 2H] h‖c for LSTM — the forward-direction state carried
+        from the previous chunk) and a static ``emit_carry_at`` (chunk
+        length in this layer's time base); returns ``(out, h_fwd)`` where
+        ``h_fwd`` is the forward state after ``emit_carry_at`` frames
+        (padding-frozen, so a final partial chunk carries the state at its
+        true end). The backward direction always starts fresh at the
+        window's right edge — that is the latency-controlled BiRNN
+        approximation, exact when the window reaches the utterance end.
+        Streaming uses the scan path (the Pallas kernel assumes zero
+        initial state); parameters are shared between both calls.
+        """
+        if (h0_fwd is None) != (emit_carry_at is None):
+            raise ValueError("h0_fwd and emit_carry_at must be passed together")
+        return self._run(x, lengths, h0_fwd, emit_carry_at)
+
+    def _run(self, x: jnp.ndarray, lengths: jnp.ndarray,
+             h0_fwd, emit_carry_at):
         B, T, D = x.shape
         H = self.hidden
         ngates = {"gru": 3, "lstm": 4}[self.cell]
@@ -97,6 +119,8 @@ class BiRNNLayer(nn.Module):
             rows = 16 if jnp.dtype(self.dtype) != jnp.float32 else 8
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and H % 128 == 0 and (2 * B) % rows == 0 else "scan")
+        if emit_carry_at is not None:
+            impl = "scan"          # streaming needs h0 + mid-window carries
         if impl == "pallas":
             from ..ops.rnn_pallas import _stream_dt, birnn_pallas
 
@@ -118,6 +142,8 @@ class BiRNNLayer(nn.Module):
             out = jnp.concatenate([fwd, bwd], axis=-1)
             return out * mask[:, :, None].astype(out.dtype)
 
+        stream = emit_carry_at is not None
+
         def step(h, inp, w_h=w_h, step_fn=step_fn, H=H):
             xpt, m = inp                                    # [2,B,G·H], [2,B]
             h_in = h[..., :H]                               # (h part for lstm)
@@ -126,13 +152,21 @@ class BiRNNLayer(nn.Module):
                             preferred_element_type=jnp.float32)
             h_new = step_fn(h, xpt, hp)
             h_new = jnp.where(m[..., None], h_new, h)       # freeze at padding
-            return h_new, h_new[..., :H]
+            return h_new, (h_new if stream else h_new[..., :H])
 
         if self.remat:
             step = jax.checkpoint(step)
         h0 = jnp.zeros((2, B, carry_dim), jnp.float32)
-        _, ys = jax.lax.scan(step, h0, (xs, ms))            # ys: [T, 2, B, H]
-        fwd = jnp.swapaxes(ys[:, 0], 0, 1)                  # [B, T, H]
-        bwd = jnp.swapaxes(ys[::-1, 1], 0, 1)
+        if h0_fwd is not None:
+            h0 = h0.at[0].set(h0_fwd.astype(jnp.float32))
+        _, ys = jax.lax.scan(step, h0, (xs, ms))   # ys: [T, 2, B, H or carry]
+        fwd = jnp.swapaxes(ys[:, 0, :, :H], 0, 1)           # [B, T, H]
+        bwd = jnp.swapaxes(ys[::-1, 1, :, :H], 0, 1)
         out = jnp.concatenate([fwd, bwd], axis=-1)
-        return out * mask[:, :, None].astype(out.dtype)
+        out = out * mask[:, :, None].astype(out.dtype)
+        if not stream:
+            return out
+        # forward state after emit_carry_at frames; padding-frozen ⇒ a
+        # short final window carries the state at its true end
+        h_carry = h0[0] if emit_carry_at == 0 else ys[emit_carry_at - 1, 0]
+        return out, h_carry

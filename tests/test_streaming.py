@@ -1,0 +1,159 @@
+"""Online (streaming) recognition tests — decode/streaming.py.
+
+The streaming recognizer is NEW capability beyond the offline reference
+(SURVEY.md §3.4 decode always sees the whole wav); its correctness contract
+is equivalence with the offline recognizer in the regimes where chunked
+computation is mathematically exact:
+
+* conv-only models (finite receptive field, covered by the window margins);
+* BiRNN models when every window's lookahead reaches the true utterance end
+  (forward state carried exactly; backward scan then starts at the real end);
+* invariance to how the PCM is split across ``accept`` calls.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from chainer_speech_recognition_tpu.config import preset_config
+from chainer_speech_recognition_tpu.decode.greedy import greedy_decode
+from chainer_speech_recognition_tpu.decode.streaming import (
+    StreamingRecognizer, stream_geometry)
+from chainer_speech_recognition_tpu.frontend.jnp_frontend import batch_features
+from chainer_speech_recognition_tpu.models.presets import build_model
+
+
+def _setup(name, *, seed=0, cmvn_mode="causal", cmvn=True, **model_over):
+    over = {"features.cmvn_mode": cmvn_mode, "features.cmvn": cmvn,
+            "model.vocab_size": 8, "model.compute_dtype": "float32"}
+    for k, v in model_over.items():
+        over[f"model.{k}"] = v
+    cfg = preset_config(name).override(over)
+    model = build_model(cfg.model)
+    import jax
+
+    x = jnp.zeros((1, 32, 40, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(seed), x, jnp.asarray([32]))
+    return cfg, model, params
+
+
+def _pcm(shape, seed=0):
+    return np.asarray(
+        np.random.default_rng(seed).uniform(-0.5, 0.5, shape), np.float32)
+
+
+def _offline_ids(model, cfg, params, pcm, ns):
+    feats, flens = batch_features(
+        jnp.asarray(pcm), jnp.asarray(np.asarray(ns, np.int32)),
+        apply_cmvn=cfg.features.cmvn_arg)
+    logits, olens = model.apply(params, feats, flens)
+    ids, lens = greedy_decode(logits, olens)
+    ids, lens = np.asarray(ids), np.asarray(lens)
+    return [ids[b, : lens[b]].tolist() for b in range(len(lens))]
+
+
+def test_conv_only_streaming_exact_multistream():
+    """Conv-only model, two streams of different true lengths decoded in
+    one lockstep batch: streaming == offline exactly (buffer + flush)."""
+    cfg, model, params = _setup("tiny_conv")
+    ns = [8000, 6496]
+    pcm = _pcm((2, max(ns)), seed=1)
+    pcm[1, ns[1]:] = 0.0
+
+    rec = StreamingRecognizer(model, params, cfg, batch=2,
+                              chunk_frames=16, right_frames=8)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=ns)
+    assert rec.emitted == _offline_ids(model, cfg, params, pcm, ns)
+
+
+def test_conv_only_incremental_blocks_match_offline():
+    """Single stream fed in ragged real-time blocks through ``accept``
+    (eager draining) ends at exactly the offline transcription, and
+    ``accept``'s incremental returns concatenate to ``emitted``."""
+    cfg, model, params = _setup("tiny_conv", seed=3)
+    n = 9600
+    pcm = _pcm((n,), seed=2)
+
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=8)
+    seen: list[int] = []
+    cuts = [0, 700, 701, 4000, 4161, 8000, n]
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        seen += rec.accept(pcm[a:b])[0]
+    assert seen, "eager draining should have emitted mid-stream"
+    seen += rec.flush()[0]
+    assert seen == rec.emitted[0]
+    assert seen == _offline_ids(model, cfg, params, pcm[None], [n])[0]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_birnn_full_lookahead_exact(cell):
+    """BiRNN streaming with lookahead past the utterance end == offline:
+    proves the forward-state carry across chunks is exact (multiple windows
+    are emitted) and the backward scan sees the true end."""
+    cfg, model, params = _setup(
+        "bigru" if cell == "gru" else "bilstm_deep",
+        rnn_type=cell, rnn_layers=2, rnn_hidden=16, rnn_impl="scan")
+    ns = [8000, 7040]
+    pcm = _pcm((2, max(ns)), seed=4)
+    pcm[1, ns[1]:] = 0.0
+
+    # 51 frames total; chunk 16 → 4 windows ⇒ 3 boundary carries exercised
+    rec = StreamingRecognizer(model, params, cfg, batch=2,
+                              chunk_frames=16, right_frames=64)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=ns)
+    assert rec.emitted == _offline_ids(model, cfg, params, pcm, ns)
+
+
+def test_block_split_invariance():
+    """The transcription must not depend on how the same audio is split
+    across ``accept`` calls (chunk-invariance of every carried state)."""
+    cfg, model, params = _setup("tiny_conv", seed=5)
+    n = 8320
+    pcm = _pcm((n,), seed=6)
+
+    def run(blocks):
+        rec = StreamingRecognizer(model, params, cfg, batch=1,
+                                  chunk_frames=16, right_frames=8)
+        out: list[int] = []
+        for blk in blocks:
+            out += rec.accept(blk)[0]
+        out += rec.flush()[0]
+        return out
+
+    one = run([pcm])
+    many = run([pcm[:37], pcm[37:3000], pcm[3000:3001], pcm[3001:]])
+    assert one == many
+
+
+def test_cmvn_off_streaming_exact():
+    """CMVN disabled entirely is also a streamable configuration."""
+    cfg, model, params = _setup("tiny_conv", cmvn=False, seed=7)
+    n = 8000
+    pcm = _pcm((1, n), seed=8)
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=8)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=[n])
+    assert rec.emitted == _offline_ids(model, cfg, params, pcm, [n])
+
+
+def test_utterance_cmvn_rejected():
+    """Utterance CMVN needs the whole utterance — streaming must refuse it
+    loudly rather than silently decode with mismatched normalization."""
+    cfg, model, params = _setup("tiny_conv", cmvn_mode="utterance")
+    with pytest.raises(ValueError, match="causal"):
+        StreamingRecognizer(model, params, cfg)
+
+
+def test_geometry_rounds_to_subsample_factor():
+    cfg, model, params = _setup("tiny_conv")
+    g = stream_geometry(model, chunk_frames=13, right_frames=3)
+    s = model.subsample_factor()
+    assert g["C"] % s == 0 and g["R"] % s == 0 and g["La"] % s == 0
+    assert g["C"] >= 13 and g["R"] >= 3
+    assert g["La"] >= model.conv_receptive_margin()
