@@ -1,0 +1,178 @@
+"""Streaming decode CLI: online recognition over wavs or live stdin PCM.
+
+The reference decodes whole utterances only (SURVEY.md §3.4-3.5); this
+surface serves the latency-controlled streaming recognizer
+(decode/streaming.py) two ways:
+
+* **wav mode** — each wav is fed through the streaming path in
+  ``--block-ms`` pieces (simulated real time); prints the final transcript
+  per wav, or incremental partials with stream timestamps under
+  ``--partials``. ``--batch`` wavs stream in lockstep through one compiled
+  step (the serving configuration).
+* **live mode** (``--raw``) — reads 16 kHz mono int16 PCM from stdin and
+  prints tokens the moment their chunk finalizes; pipe a microphone
+  capture in (``arecord -f S16_LE -r 16000 -c 1 | … --raw``) for true
+  online recognition.
+
+Requires a checkpoint trained with ``features.cmvn_mode=causal`` (or CMVN
+off) — utterance CMVN cannot be computed online; the recognizer refuses
+otherwise with the retrain instruction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .. import constants as C
+from ..decode.streaming import StreamingRecognizer
+from ..utils.runtime import respect_jax_platforms
+from ..utils.wav import read_wav
+from ..vocab import Vocab
+from .evaluate import load_model_and_params
+
+
+def _print_partial(stream_name, t_samples, text, file=sys.stdout):
+    print(f"[{stream_name} @ {t_samples / C.SAMPLE_RATE:7.2f}s] {text}",
+          file=file, flush=True)
+
+
+def _stream_wavs(args, rec, vocab):
+    """Length-sorted lockstep batches over the wav list (same bounded-
+    memory discipline as cli/decode.py): PCM buffers in block-size pieces
+    and every window is emitted at ``flush`` with per-stream true lengths
+    (the exact-lockstep semantics of StreamingRecognizer.accept)."""
+    blk = max(int(args.block_ms * C.SAMPLE_RATE / 1000), 1)
+    B = rec.batch
+    order = sorted(range(len(args.wavs)),
+                   key=lambda i: args.wav_lens[i])
+    results: list = [None] * len(args.wavs)
+    for start in range(0, len(order), B):
+        chunk = order[start : start + B]
+        rows = chunk + [chunk[0]] * (B - len(chunk))      # static batch
+        sigs = [read_wav(args.wavs[i]) for i in rows]
+        ns = np.asarray([len(s) for s in sigs], np.int64)
+        n_max = int(ns.max())
+        pcm = np.zeros((B, n_max), np.float32)
+        for r, s in enumerate(sigs):
+            pcm[r, : len(s)] = s
+        rec.reset()
+        for off in range(0, n_max, blk):
+            rec.accept(pcm[:, off : off + blk], drain=False)
+        rec.flush(num_samples=ns)
+        for r, i in enumerate(chunk):
+            results[i] = vocab.decode(rec.emitted[r])
+    for path, text in zip(args.wavs, results):
+        print(f"{path}\t{text}", flush=True)
+
+
+def _stream_wavs_partials(args, rec, vocab):
+    """``--partials``: each wav streams alone (batch=1 — eager draining
+    treats every fed sample as real, so unequal-length lockstep padding
+    would corrupt shorter streams), printing hypotheses as chunks
+    finalize, exactly as a live caller would see them."""
+    blk = max(int(args.block_ms * C.SAMPLE_RATE / 1000), 1)
+    for path in args.wavs:
+        sig = read_wav(path)
+        rec.reset()
+        for off in range(0, len(sig), blk):
+            new = rec.accept(sig[None, off : off + blk])
+            if new[0]:
+                _print_partial(path, min(off + blk, len(sig)),
+                               vocab.decode(new[0]))
+        new = rec.flush()
+        if new[0]:
+            _print_partial(path, len(sig), vocab.decode(new[0]))
+        print(f"{path}\t{vocab.decode(rec.emitted[0])}", flush=True)
+
+
+def _stream_stdin(args, rec, vocab):
+    """Live mode: int16 PCM on stdin → tokens as chunks finalize."""
+    blk_bytes = 2 * max(int(args.block_ms * C.SAMPLE_RATE / 1000), 1)
+    src = sys.stdin.buffer
+    total = 0
+    while True:
+        raw = src.read(blk_bytes)
+        if not raw:
+            break
+        if len(raw) % 2:                  # partial trailing sample
+            raw = raw[:-1]
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        total += len(pcm)
+        new = rec.accept(pcm[None])
+        if new[0]:
+            _print_partial("stdin", total, vocab.decode(new[0]))
+    new = rec.flush()
+    if new[0]:
+        _print_partial("stdin", total, vocab.decode(new[0]))
+    print(vocab.decode(rec.emitted[0]), flush=True)
+
+
+def main(argv=None):
+    respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--vocab", required=True, help="vocab.txt path")
+    p.add_argument("--chunk-frames", type=int, default=64,
+                   help="emitted frames per streaming step (10 ms units)")
+    p.add_argument("--right-frames", type=int, default=16,
+                   help="future context per emitted frame (10 ms units); "
+                        "latency = (chunk+right) x 10 ms + compute")
+    p.add_argument("--block-ms", type=float, default=100.0,
+                   help="PCM feed granularity (simulated real time)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="wav mode: lockstep streams per compiled step")
+    p.add_argument("--partials", action="store_true",
+                   help="print incremental hypotheses with stream time")
+    p.add_argument("--raw", action="store_true",
+                   help="live mode: read 16 kHz mono int16 PCM from stdin")
+    p.add_argument("--wav-list", default=None,
+                   help="file with one wav path per line")
+    p.add_argument("wavs", nargs="*")
+    args = p.parse_args(argv)
+
+    if args.wav_list:
+        with open(args.wav_list, encoding="utf-8") as f:
+            args.wavs += [l.strip() for l in f if l.strip()]
+    if args.raw and args.wavs:
+        raise SystemExit("--raw reads stdin; drop the wav arguments")
+    if not args.raw and not args.wavs:
+        raise SystemExit("no input: give wavs (or --wav-list), or --raw "
+                         "for stdin PCM")
+    if args.batch <= 0:
+        raise SystemExit("--batch must be >= 1")
+
+    cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
+    vocab = Vocab.load(args.vocab)
+    if len(vocab) != cfg.model.vocab_size:
+        raise SystemExit(
+            f"vocab has {len(vocab)} symbols but the checkpoint was trained "
+            f"with model.vocab_size={cfg.model.vocab_size} — wrong vocab "
+            "file for this checkpoint")
+
+    batch = (1 if args.raw or args.partials
+             else min(args.batch, len(args.wavs)))
+    rec = StreamingRecognizer(
+        model, state.params, cfg, batch=batch,
+        chunk_frames=args.chunk_frames, right_frames=args.right_frames)
+
+    if args.raw:
+        _stream_stdin(args, rec, vocab)
+    elif args.partials:
+        _stream_wavs_partials(args, rec, vocab)
+    else:
+        import wave
+
+        def header_len(path):
+            with wave.open(path, "rb") as w:
+                return int(round(w.getnframes() * C.SAMPLE_RATE
+                                 / w.getframerate()))
+
+        args.wav_lens = [header_len(w) for w in args.wavs]
+        _stream_wavs(args, rec, vocab)
+
+
+if __name__ == "__main__":
+    main()

@@ -280,3 +280,72 @@ def test_preprocess_kaldi_format(tmp_path, capsys):
     assert [r["utt_id"] for r in rows] == ["rec_a", "rec_b"]
     assert all(r["num_samples"] > 0 for r in rows)
     assert os.path.exists(os.path.join(out, "vocab.txt"))
+
+
+@pytest.mark.slow
+def test_cli_streaming(tmp_path, capsys):
+    """Streaming CLI (decode/streaming.py surface): train a causal-CMVN
+    conv-only model, then (a) lockstep wav-mode streaming equals the
+    offline decode CLI exactly (conv receptive field fully covered by the
+    window margins), (b) --partials prints timed incremental lines whose
+    final transcript matches."""
+    from chainer_speech_recognition_tpu.cli import decode as decode_cli
+    from chainer_speech_recognition_tpu.cli import preprocess as preprocess_cli
+    from chainer_speech_recognition_tpu.cli import stream as stream_cli
+    from chainer_speech_recognition_tpu.cli import train as train_cli
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "prep")
+    ckpt = str(tmp_path / "ckpts")
+    _make_corpus(corpus, n=24, seed=7)
+
+    preprocess_cli.main(["--corpus", corpus, "--out", out,
+                         "--dev-fraction", "0.2"])
+    train_cli.main(["--data-dir", out, "--preset", "tiny_conv",
+                    "--ckpt-dir", ckpt,
+                    "--metrics", str(tmp_path / "metrics.jsonl"),
+                    "--set", "model.compute_dtype=float32",
+                    "features.cmvn_mode=causal",
+                    "optim.learning_rate=0.003", "optim.warmup_steps=10",
+                    "buckets.boundaries=[64]", "buckets.batch_sizes=[8]",
+                    "buckets.max_label_len=8",
+                    "train.total_steps=30", "train.log_every=30",
+                    "train.eval_every=1000", "train.checkpoint_every=30"])
+
+    vocab = os.path.join(out, "vocab.txt")
+    wavs = [os.path.join(corpus, f"utt{i:03d}.wav") for i in range(3)]
+
+    decode_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab, *wavs])
+    offline = {l.split("\t")[0]: l.split("\t", 1)[1]
+               for l in capsys.readouterr().out.splitlines() if "\t" in l}
+
+    # (a) lockstep wav mode, batch 2 over 3 wavs of different lengths
+    stream_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab, "--batch", "2",
+                     "--chunk-frames", "16", "--right-frames", "8", *wavs])
+    streamed = {l.split("\t")[0]: l.split("\t", 1)[1]
+                for l in capsys.readouterr().out.splitlines() if "\t" in l}
+    assert streamed == offline
+
+    # (b) --partials: per-wav incremental lines, same final transcript
+    stream_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab, "--partials",
+                     "--chunk-frames", "16", "--right-frames", "8",
+                     wavs[0]])
+    lines = capsys.readouterr().out.splitlines()
+    finals = [l for l in lines if l.startswith(wavs[0] + "\t")]
+    assert finals and finals[0].split("\t", 1)[1] == offline[wavs[0]]
+    partials = [l for l in lines if l.startswith(f"[{wavs[0]} @")]
+    joined = "".join(p.split("] ", 1)[1] for p in partials)
+    assert joined == offline[wavs[0]]
+
+    # guard: a non-causal checkpoint is refused with the retrain hint
+    ckpt2 = str(tmp_path / "ckpts_utt")
+    train_cli.main(["--data-dir", out, "--preset", "tiny_conv",
+                    "--ckpt-dir", ckpt2,
+                    "--metrics", str(tmp_path / "m2.jsonl"),
+                    "--set", "model.compute_dtype=float32",
+                    "buckets.boundaries=[64]", "buckets.batch_sizes=[8]",
+                    "buckets.max_label_len=8", "train.total_steps=2",
+                    "train.log_every=2", "train.eval_every=1000",
+                    "train.checkpoint_every=2"])
+    with pytest.raises(ValueError, match="causal"):
+        stream_cli.main(["--ckpt-dir", ckpt2, "--vocab", vocab, wavs[0]])
