@@ -550,6 +550,35 @@ def main(argv=None):
         return (B_lm * n_rep / sdt, h.bytes,
                 V_lm ** 3 * V_lm * 4, build_s)
 
+    def bench_streaming(chunk=64, right=16, S=16, secs=8):
+        """Online recognition (decode/streaming.py): S lockstep streams
+        fed 1 s PCM blocks through the compiled chunk step; returns the
+        steady-state real-time factor (audio-seconds per wall-second,
+        all streams summed) at (chunk+right)*10 ms buffer latency."""
+        from chainer_speech_recognition_tpu.decode.streaming import (
+            StreamingRecognizer)
+
+        scfg = preset_config(args.preset).override({
+            "features.cmvn_mode": "causal",
+            "model.compute_dtype": compute_dtype})
+        smodel = build_model(scfg.model)
+        ex = jnp.zeros((1, 64, scfg.features.n_mels, 3), jnp.float32)
+        sparams = jax.jit(smodel.init)(jax.random.key(0), ex,
+                                       jnp.asarray([64], jnp.int32))
+        rec = StreamingRecognizer(smodel, sparams, scfg, batch=S,
+                                  chunk_frames=chunk, right_frames=right)
+        rng = np.random.default_rng(0)
+        n = C.SAMPLE_RATE * secs
+        pcm = rng.uniform(-0.5, 0.5, (S, n)).astype(np.float32)
+        for pass_no in range(2):                  # pass 0 compiles + warms
+            rec.reset()
+            t0 = time.perf_counter()
+            for off in range(0, n, C.SAMPLE_RATE):
+                rec.accept(pcm[:, off : off + C.SAMPLE_RATE])
+            rec.flush()
+            sdt = time.perf_counter() - t0
+        return S * secs / sdt
+
     (ups_per_chip, decode_ups, mfu, flops_per_sec, last_loss,
      dt, ddt) = bench_device_resident(cfg, model)
     audio_sec = float(np.sum(batch["num_samples"])) / C.SAMPLE_RATE
@@ -581,6 +610,7 @@ def main(argv=None):
         extra["beam_hashed_o4_v200_utt_per_sec"] = round(bh_ups, 1)
         extra["lm_hashed_o4_v200_mb"] = round(bh_bytes / 2**20, 1)
         extra["lm_dense_o4_v200_equiv_gb"] = round(bh_dense / 2**30, 2)
+        extra["stream_rt_factor_16"] = round(bench_streaming(), 1)
     headline = ups_per_chip
 
     def result_line():

@@ -384,3 +384,41 @@ def test_beam_hashed_lm_throughput():
     floor = FLOOR["beam_hashed_o4_v200_utt_per_sec"]
     assert ups >= MARGIN * floor, \
         f"hashed beam {ups:.0f} utt/s < {MARGIN}x {floor}"
+
+
+def test_streaming_rt_factor():
+    """Guards online recognition throughput (decode/streaming.py): 16
+    lockstep streams of 8 s noise fed in 1 s blocks through the compiled
+    chunk steps, steady-state (pass 0 compiles + warms). The figure is
+    the summed real-time factor — a regression in the streaming step's
+    window math, the scan-path RNN, or the host window assembly fails
+    here."""
+    from chainer_speech_recognition_tpu.config import preset_config
+    from chainer_speech_recognition_tpu.decode.streaming import (
+        StreamingRecognizer)
+    from chainer_speech_recognition_tpu.models.presets import build_model
+    from chainer_speech_recognition_tpu import constants as C
+
+    scfg = preset_config("bigru").override({
+        "features.cmvn_mode": "causal", "model.compute_dtype": "bfloat16"})
+    smodel = build_model(scfg.model)
+    ex = jnp.zeros((1, 64, scfg.features.n_mels, 3), jnp.float32)
+    sparams = jax.jit(smodel.init)(jax.random.key(0), ex,
+                                   jnp.asarray([64], jnp.int32))
+    S, secs = 16, 8
+    rec = StreamingRecognizer(smodel, sparams, scfg, batch=S,
+                              chunk_frames=64, right_frames=16)
+    rng = np.random.default_rng(0)
+    n = C.SAMPLE_RATE * secs
+    pcm = rng.uniform(-0.5, 0.5, (S, n)).astype(np.float32)
+    for pass_no in range(2):
+        rec.reset()
+        t0 = time.perf_counter()
+        for off in range(0, n, C.SAMPLE_RATE):
+            rec.accept(pcm[:, off : off + C.SAMPLE_RATE])
+        rec.flush()
+        sdt = time.perf_counter() - t0
+    rtf = S * secs / sdt
+    floor = FLOOR["stream_rt_factor_16"]
+    assert rtf >= MARGIN * floor, \
+        f"streaming {rtf:.0f}x RT < {MARGIN}x {floor}"
