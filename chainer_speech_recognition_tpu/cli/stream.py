@@ -115,6 +115,17 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--vocab", required=True, help="vocab.txt path")
+    p.add_argument("--beam", type=int, default=0,
+                   help="streaming prefix-beam width (0 = greedy); tokens "
+                        "print once every live beam agrees on them, the "
+                        "1-best tail lands at stream end")
+    p.add_argument("--lm", default=None,
+                   help="ARPA n-gram LM for streaming shallow fusion "
+                        "(requires --beam)")
+    p.add_argument("--lm-alpha", type=float, default=0.5)
+    p.add_argument("--lm-beta", type=float, default=1.0)
+    p.add_argument("--lm-repr", default="auto",
+                   choices=("auto", "dense", "hashed"))
     p.add_argument("--chunk-frames", type=int, default=64,
                    help="emitted frames per streaming step (10 ms units)")
     p.add_argument("--right-frames", type=int, default=16,
@@ -143,6 +154,9 @@ def main(argv=None):
                          "for stdin PCM")
     if args.batch <= 0:
         raise SystemExit("--batch must be >= 1")
+    if args.lm and args.beam <= 0:
+        raise SystemExit("--lm requires --beam K (greedy streaming cannot "
+                         "apply LM fusion)")
 
     cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
     vocab = Vocab.load(args.vocab)
@@ -152,11 +166,18 @@ def main(argv=None):
             f"with model.vocab_size={cfg.model.vocab_size} — wrong vocab "
             "file for this checkpoint")
 
+    lm = None
+    if args.lm:
+        from ..decode.lm import NGramLM, device_lm
+        lm = device_lm(NGramLM.from_arpa(args.lm, vocab), args.lm_repr)
+
     batch = (1 if args.raw or args.partials
              else min(args.batch, len(args.wavs)))
     rec = StreamingRecognizer(
         model, state.params, cfg, batch=batch,
-        chunk_frames=args.chunk_frames, right_frames=args.right_frames)
+        chunk_frames=args.chunk_frames, right_frames=args.right_frames,
+        decoder="beam" if args.beam > 0 else "greedy", beam=args.beam,
+        lm=lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta)
 
     if args.raw:
         _stream_stdin(args, rec, vocab)

@@ -234,20 +234,8 @@ def _beam_call(logits, lengths, beam, max_len, lm, alpha, beta,
         raise ValueError(
             f"beam decode packs results as int16: vocab size {V} and frame "
             f"count {logits.shape[1]} must both be <= 32767")
-    if isinstance(lm, NGramLM):
-        lm = _ngram_to_dense_cached(lm)
-    hashed, probes = False, 0
-    if isinstance(lm, HashedLM):               # sparse open-addressing repr
-        lm_table, lm_rows = _hashed_to_device(lm)
-        lm_order, fuse = lm.order, True
-        hashed, probes = True, lm.max_probes
-    elif lm is not None:
-        lm_table, lm_order, fuse = _lm_to_device(lm[0]), int(lm[1]), True
-        lm_rows = _dummy_rows(V)
-    else:                       # no LM ⇒ no fusion score, no length bonus
-        lm_table, lm_order, fuse = _dummy_rows(V), 1, False
-        lm_rows = _dummy_rows(V)
-        alpha = beta = 0.0
+    (lm_table, lm_rows, lm_order, fuse, hashed, probes,
+     alpha, beta) = _prep_lm(lm, V, alpha, beta)
     ab = _ab_device(float(alpha), float(beta))     # cached device scalar pair
     if mesh is not None and mesh.devices.size > 1 \
             and logits.shape[0] % mesh.devices.size == 0:
@@ -281,6 +269,197 @@ def _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse, hashed,
         check_vma=False))
 
 
+def beam_stream_init(B: int, beam: int):
+    """Fresh beam-search carry state for B utterances (the scan carry of
+    ``_beam_decode_jit``, exposed so decode/streaming.py can thread it
+    across chunk boundaries — the prefix-beam recursion is strictly
+    causal in t, so chunked decoding with carried state is EXACT)."""
+    K = beam
+    pb = jnp.full((B, K), LOG_ZERO, jnp.float32).at[:, 0].set(0.0)
+    pnb = jnp.full((B, K), LOG_ZERO, jnp.float32)
+    hashes = jnp.broadcast_to(-jnp.arange(1, K + 1, dtype=jnp.int32)[None],
+                              (B, K)).at[:, 0].set(1)
+    hashes2 = jnp.broadcast_to(-jnp.arange(1, K + 1, dtype=jnp.int32)[None],
+                               (B, K)).at[:, 0].set(2)
+    last = jnp.zeros((B, K), jnp.int32)               # 0 = none
+    ctx = jnp.zeros((B, K), jnp.int32)                # LM context id
+    return pb, pnb, hashes, hashes2, last, ctx
+
+
+def _prep_lm(lm, V, alpha, beta):
+    """Shared LM-argument preparation (dense / hashed / none) for the
+    offline and streaming beam entry points: returns
+    (lm_table, lm_rows, lm_order, fuse, hashed, probes, alpha, beta)
+    with device caching exactly as _beam_call historically did."""
+    if isinstance(lm, NGramLM):
+        lm = _ngram_to_dense_cached(lm)
+    hashed, probes = False, 0
+    if isinstance(lm, HashedLM):               # sparse open-addressing repr
+        lm_table, lm_rows = _hashed_to_device(lm)
+        lm_order, fuse = lm.order, True
+        hashed, probes = True, lm.max_probes
+    elif lm is not None:
+        lm_table, lm_order, fuse = _lm_to_device(lm[0]), int(lm[1]), True
+        lm_rows = _dummy_rows(V)
+    else:                       # no LM ⇒ no fusion score, no length bonus
+        lm_table, lm_order, fuse = _dummy_rows(V), 1, False
+        lm_rows = _dummy_rows(V)
+        alpha = beta = 0.0
+    return lm_table, lm_rows, lm_order, fuse, hashed, probes, alpha, beta
+
+
+def _beam_step(state, lp, t, lengths, *, K, V, lm_table, lm_rows, lm_order,
+               fuse, hashed, probes, alpha, beta):
+    """One prefix-beam frame (the body of the offline scan AND of the
+    streaming chunk scan): state is the [B,K] carry tuple from
+    ``beam_stream_init``; returns (new_state, (tb_parent, tb_char))."""
+    pb, pnb, hashes, hashes2, last, ctx = state
+    B = pb.shape[0]
+    # context-id modulus: the beam rolls the LAST (order-1) chars as one
+    # int32 id — for the dense table this also equals lm_table.shape[0]
+    C = V ** (lm_order - 1)
+    v_ids = jnp.arange(V, dtype=jnp.int32)[None, None, :]   # [1,1,V]
+    total = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO), pnb)
+    total = jnp.where(jnp.maximum(pb, pnb) <= LOG_ZERO / 2, LOG_ZERO, total)
+
+    # ---- candidate grid [B, K, V]: v==0 stay, v>=1 extend ----------
+    # NO per-element gathers anywhere in this body: on TPU they lower
+    # to near-scalar code — every selection is a one-hot mask + sum
+    lp_b = lp[:, None, :]                          # [B,1,V]
+    eq_last = v_ids == last[:, :, None]            # [B,K,V] one-hot(last)
+    # stay: pb' = total + lp[blank]; pnb' = pnb + lp[last] (if last>0)
+    stay_pb = total + lp[:, BLANK_ID][:, None]     # [B,K]
+    rep = jnp.sum(jnp.where(eq_last, lp_b, 0.0), axis=2)
+    stay_pnb = jnp.where(last > 0, pnb + rep, LOG_ZERO)
+    # extend: base = (v==last ? pb : total) + lp[v] (+ LM)
+    base = jnp.where(eq_last, pb[:, :, None], total[:, :, None])
+    ext_pnb = base + lp_b                          # [B,K,V]
+    # fusion whenever an LM was passed (fuse is static; α/β are traced
+    # scalars): a unigram LM with alpha=0, beta!=0 must still apply
+    # the insertion bonus, matching beam_decode_reference
+    if fuse and hashed:
+        # sparse LM (decode/lm.py::HashedLM): find the resolved score
+        # row for the hypothesis context by probing the open-addressing
+        # hash LONGEST-SUFFIX-FIRST — level k key = ctx % V^k; the
+        # first level that hits owns the row (exactly score()'s backoff
+        # descent, which adds zero weight through unknown contexts).
+        # Unknown everywhere → rows[0] (empty context). All levels ×
+        # probe slots fold into ONE [B,K,L·P,2] gather (6 separate
+        # per-level gathers cost ~2× on TPU); priority = first hit in
+        # the longest-level-first flattened order via argmax-of-bool.
+        # Build guarantees every key lands within ``probes`` slots of
+        # its home slot, so the probe window is a static shape.
+        cap = lm_table.shape[0]                    # power of two
+        mask = jnp.uint32(cap - 1)
+        p_iota = jnp.arange(probes, dtype=jnp.uint32)
+        L = lm_order - 1
+        mods = jnp.asarray([V ** k for k in range(L, 0, -1)],
+                           jnp.int32)              # longest first
+        keys = ctx[..., None] % mods               # [B,K,L]
+        slot0 = (keys.astype(jnp.uint32) * jnp.uint32(2654435761)) & mask
+        slots = ((slot0[..., None] + p_iota) & mask) \
+            .astype(jnp.int32).reshape(*ctx.shape, L * probes)
+        tkv = lm_table[slots]                      # [B,K,L·P,2]
+        kk = jnp.repeat(keys, probes, axis=-1)     # [B,K,L·P]
+        hit = (tkv[..., 0] == kk) & (kk > 0)
+        first = jnp.argmax(hit, axis=-1)           # longest-level hit
+        oh = first[..., None] == jnp.arange(L * probes)
+        val = jnp.sum(jnp.where(oh, tkv[..., 1], 0), axis=-1)
+        ridx = jnp.where(jnp.any(hit, axis=-1), val, 0)
+        ext_pnb = ext_pnb + alpha * lm_rows[ridx] + beta
+    elif fuse:
+        lm_row = lm_table[ctx]                     # [B,K,V]
+        ext_pnb = ext_pnb + alpha * lm_row + beta
+    ext_pnb = jnp.where(v_ids == 0, LOG_ZERO, ext_pnb)
+
+    # ---- merge duplicates (structural, no sort) ----------------------
+    # Two extensions can never form the same prefix (equal-length
+    # prefixes of two distinct beams cannot be equal), so the ONLY
+    # merges are stay(k) ← ext(j, c) with prefix_k == prefix_j + c.
+    # Match by double rolling hash over a [B, K_stay, K_parent, V]
+    # equality tensor and fold matched extension mass into the stay's
+    # p_nb with one masked logsumexp.
+    ext_hash = (((hashes[:, :, None] % _HASH_MOD) * _HASH_MULT
+                 + v_ids) % _HASH_MOD).reshape(B, 1, K * V)
+    ext_hash2 = (((hashes2[:, :, None] % _HASH_MOD2) * _HASH_MULT2
+                  + v_ids) % _HASH_MOD2).reshape(B, 1, K * V)
+    nonblank = ((jnp.arange(K * V, dtype=jnp.int32) % V) != 0)[None, None]
+    match = ((ext_hash == hashes[:, :, None])
+             & (ext_hash2 == hashes2[:, :, None])
+             & nonblank)                           # [B,K_stay,K·V]
+    ext_flat = ext_pnb.reshape(B, 1, K * V)
+    mval = jnp.where(match, ext_flat, LOG_ZERO)
+    mmax = jnp.max(mval, axis=2)                   # [B,K]
+    mmax_s = jnp.maximum(mmax, LOG_ZERO / 2)
+    msum = jnp.sum(jnp.exp(mval - mmax_s[:, :, None]), axis=2)
+    merged = jnp.where(mmax <= LOG_ZERO / 2, LOG_ZERO,
+                       mmax_s + jnp.log(jnp.maximum(msum, 1e-37)))
+    stay_pnb = jnp.logaddexp(jnp.maximum(stay_pnb, LOG_ZERO),
+                             jnp.maximum(merged, LOG_ZERO))
+    stay_pnb = jnp.where(stay_pnb <= LOG_ZERO / 2, LOG_ZERO, stay_pnb)
+    # consumed extensions live on in their stay beam, not as candidates
+    consumed = jnp.any(match, axis=1)              # [B,K·V]
+    ext_score = jnp.where(consumed, LOG_ZERO,
+                          ext_pnb.reshape(B, K * V))
+
+    # ---- top-K over K stays + K·V surviving extensions ---------------
+    stay_score = jnp.logaddexp(jnp.maximum(stay_pb, LOG_ZERO / 2),
+                               jnp.maximum(stay_pnb, LOG_ZERO / 2))
+    score = jnp.concatenate([stay_score, ext_score.reshape(B, K * V)],
+                            axis=1)                # [B, K + K·V]
+    top_score, top_idx = jax.lax.top_k(score, K)   # [B,K]
+    is_stay = top_idx < K
+    e_idx = jnp.maximum(top_idx - K, 0)
+    # every selected candidate is (parent beam, char): stays are
+    # (own index, -1), extensions decode arithmetically from e_idx
+    n_parent = jnp.where(is_stay, jnp.minimum(top_idx, K - 1),
+                         e_idx // V)
+    n_char = jnp.where(is_stay, -1, e_idx % V)
+
+    # one-hot payload selection over the K parents — [B,K,K], tiny.
+    # Extensions need NO payload lookup at all: a selected extension's
+    # score IS its p_nb (top_score), its p_b is -inf, and its hash
+    # rolls arithmetically from the parent's.
+    oh_parent = n_parent[:, :, None] == jnp.arange(K, dtype=jnp.int32)
+    sel_p_f = lambda x: jnp.sum(
+        jnp.where(oh_parent, x[:, None, :], 0.0), axis=2)
+    sel_p_i = lambda x: jnp.sum(
+        jnp.where(oh_parent, x[:, None, :], 0), axis=2)
+
+    n_pb = jnp.where(is_stay, sel_p_f(stay_pb), LOG_ZERO)
+    n_pnb = jnp.where(is_stay, sel_p_f(stay_pnb), top_score)
+    # hashes roll arithmetically from the parent's hash — no gather
+    # into the [B,K,V] ext-hash grids needed
+    p_hash = sel_p_i(hashes)
+    p_hash2 = sel_p_i(hashes2)
+    n_hash = jnp.where(
+        is_stay, p_hash,
+        ((p_hash % _HASH_MOD) * _HASH_MULT + n_char) % _HASH_MOD)
+    n_hash2 = jnp.where(
+        is_stay, p_hash2,
+        ((p_hash2 % _HASH_MOD2) * _HASH_MULT2 + n_char) % _HASH_MOD2)
+
+    # ---- small per-beam bookkeeping (prefixes are reconstructed from
+    # the (parent, char) traceback on the host after the scan) ---------
+    extend = n_char >= 0
+    new_last = jnp.where(extend, n_char, sel_p_i(last))
+    new_ctx = sel_p_i(ctx)
+    if lm_order > 1:
+        rolled = (new_ctx * V + jnp.maximum(n_char, 0)) % C
+        new_ctx = jnp.where(extend, rolled, new_ctx)
+
+    # ---- freeze past utterance end -------------------------------------
+    alive = (t < lengths)[:, None]
+    sel = lambda n, o: jnp.where(alive, n, o)
+    k_ident = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K))
+    tb_parent = jnp.where(alive, n_parent, k_ident)   # frozen: identity
+    tb_char = jnp.where(alive, n_char, -1)            # frozen: no symbol
+    return ((sel(n_pb, pb), sel(n_pnb, pnb), sel(n_hash, hashes),
+             sel(n_hash2, hashes2), sel(new_last, last),
+             sel(new_ctx, ctx)),
+            (tb_parent, tb_char))
+
+
 @functools.partial(jax.jit, static_argnames=("beam", "max_len", "lm_order",
                                               "fuse", "hashed", "probes",
                                               "keep"))
@@ -291,169 +470,19 @@ def _beam_decode_jit(logits, lengths, beam, max_len, lm_table, lm_rows,
     K = beam
     alpha, beta = ab[0], ab[1]
     lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    # context-id modulus: the beam rolls the LAST (order-1) chars as one
-    # int32 id — for the dense table this also equals lm_table.shape[0]
-    C = V ** (lm_order - 1)
-
-    # beam state
-    pb = jnp.full((B, K), LOG_ZERO, jnp.float32).at[:, 0].set(0.0)
-    pnb = jnp.full((B, K), LOG_ZERO, jnp.float32)
-    hashes = jnp.broadcast_to(-jnp.arange(1, K + 1, dtype=jnp.int32)[None],
-                              (B, K)).at[:, 0].set(1)
-    hashes2 = jnp.broadcast_to(-jnp.arange(1, K + 1, dtype=jnp.int32)[None],
-                               (B, K)).at[:, 0].set(2)
-    last = jnp.zeros((B, K), jnp.int32)               # 0 = none
-    ctx = jnp.zeros((B, K), jnp.int32)                # LM context id
-
-    v_ids = jnp.arange(V, dtype=jnp.int32)[None, None, :]   # [1,1,V]
+    state0 = beam_stream_init(B, K)
 
     def step(state, xs):
-        pb, pnb, hashes, hashes2, last, ctx = state
         lp, t = xs                                     # [B,V], scalar
-        total = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO), pnb)
-        total = jnp.where(jnp.maximum(pb, pnb) <= LOG_ZERO / 2, LOG_ZERO, total)
-
-        # ---- candidate grid [B, K, V]: v==0 stay, v>=1 extend ----------
-        # NO per-element gathers anywhere in this body: on TPU they lower
-        # to near-scalar code — every selection is a one-hot mask + sum
-        lp_b = lp[:, None, :]                          # [B,1,V]
-        eq_last = v_ids == last[:, :, None]            # [B,K,V] one-hot(last)
-        # stay: pb' = total + lp[blank]; pnb' = pnb + lp[last] (if last>0)
-        stay_pb = total + lp[:, BLANK_ID][:, None]     # [B,K]
-        rep = jnp.sum(jnp.where(eq_last, lp_b, 0.0), axis=2)
-        stay_pnb = jnp.where(last > 0, pnb + rep, LOG_ZERO)
-        # extend: base = (v==last ? pb : total) + lp[v] (+ LM)
-        base = jnp.where(eq_last, pb[:, :, None], total[:, :, None])
-        ext_pnb = base + lp_b                          # [B,K,V]
-        # fusion whenever an LM was passed (fuse is static; α/β are traced
-        # scalars): a unigram LM with alpha=0, beta!=0 must still apply
-        # the insertion bonus, matching beam_decode_reference
-        if fuse and hashed:
-            # sparse LM (decode/lm.py::HashedLM): find the resolved score
-            # row for the hypothesis context by probing the open-addressing
-            # hash LONGEST-SUFFIX-FIRST — level k key = ctx % V^k; the
-            # first level that hits owns the row (exactly score()'s backoff
-            # descent, which adds zero weight through unknown contexts).
-            # Unknown everywhere → rows[0] (empty context). All levels ×
-            # probe slots fold into ONE [B,K,L·P,2] gather (6 separate
-            # per-level gathers cost ~2× on TPU); priority = first hit in
-            # the longest-level-first flattened order via argmax-of-bool.
-            # Build guarantees every key lands within ``probes`` slots of
-            # its home slot, so the probe window is a static shape.
-            cap = lm_table.shape[0]                    # power of two
-            mask = jnp.uint32(cap - 1)
-            p_iota = jnp.arange(probes, dtype=jnp.uint32)
-            L = lm_order - 1
-            mods = jnp.asarray([V ** k for k in range(L, 0, -1)],
-                               jnp.int32)              # longest first
-            keys = ctx[..., None] % mods               # [B,K,L]
-            slot0 = (keys.astype(jnp.uint32) * jnp.uint32(2654435761)) & mask
-            slots = ((slot0[..., None] + p_iota) & mask) \
-                .astype(jnp.int32).reshape(*ctx.shape, L * probes)
-            tkv = lm_table[slots]                      # [B,K,L·P,2]
-            kk = jnp.repeat(keys, probes, axis=-1)     # [B,K,L·P]
-            hit = (tkv[..., 0] == kk) & (kk > 0)
-            first = jnp.argmax(hit, axis=-1)           # longest-level hit
-            oh = first[..., None] == jnp.arange(L * probes)
-            val = jnp.sum(jnp.where(oh, tkv[..., 1], 0), axis=-1)
-            ridx = jnp.where(jnp.any(hit, axis=-1), val, 0)
-            ext_pnb = ext_pnb + alpha * lm_rows[ridx] + beta
-        elif fuse:
-            lm_row = lm_table[ctx]                     # [B,K,V]
-            ext_pnb = ext_pnb + alpha * lm_row + beta
-        ext_pnb = jnp.where(v_ids == 0, LOG_ZERO, ext_pnb)
-
-        # ---- merge duplicates (structural, no sort) ----------------------
-        # Two extensions can never form the same prefix (equal-length
-        # prefixes of two distinct beams cannot be equal), so the ONLY
-        # merges are stay(k) ← ext(j, c) with prefix_k == prefix_j + c.
-        # Match by double rolling hash over a [B, K_stay, K_parent, V]
-        # equality tensor and fold matched extension mass into the stay's
-        # p_nb with one masked logsumexp.
-        ext_hash = (((hashes[:, :, None] % _HASH_MOD) * _HASH_MULT
-                     + v_ids) % _HASH_MOD).reshape(B, 1, K * V)
-        ext_hash2 = (((hashes2[:, :, None] % _HASH_MOD2) * _HASH_MULT2
-                      + v_ids) % _HASH_MOD2).reshape(B, 1, K * V)
-        nonblank = ((jnp.arange(K * V, dtype=jnp.int32) % V) != 0)[None, None]
-        match = ((ext_hash == hashes[:, :, None])
-                 & (ext_hash2 == hashes2[:, :, None])
-                 & nonblank)                           # [B,K_stay,K·V]
-        ext_flat = ext_pnb.reshape(B, 1, K * V)
-        mval = jnp.where(match, ext_flat, LOG_ZERO)
-        mmax = jnp.max(mval, axis=2)                   # [B,K]
-        mmax_s = jnp.maximum(mmax, LOG_ZERO / 2)
-        msum = jnp.sum(jnp.exp(mval - mmax_s[:, :, None]), axis=2)
-        merged = jnp.where(mmax <= LOG_ZERO / 2, LOG_ZERO,
-                           mmax_s + jnp.log(jnp.maximum(msum, 1e-37)))
-        stay_pnb = jnp.logaddexp(jnp.maximum(stay_pnb, LOG_ZERO),
-                                 jnp.maximum(merged, LOG_ZERO))
-        stay_pnb = jnp.where(stay_pnb <= LOG_ZERO / 2, LOG_ZERO, stay_pnb)
-        # consumed extensions live on in their stay beam, not as candidates
-        consumed = jnp.any(match, axis=1)              # [B,K·V]
-        ext_score = jnp.where(consumed, LOG_ZERO,
-                              ext_pnb.reshape(B, K * V))
-
-        # ---- top-K over K stays + K·V surviving extensions ---------------
-        stay_score = jnp.logaddexp(jnp.maximum(stay_pb, LOG_ZERO / 2),
-                                   jnp.maximum(stay_pnb, LOG_ZERO / 2))
-        score = jnp.concatenate([stay_score, ext_score.reshape(B, K * V)],
-                                axis=1)                # [B, K + K·V]
-        top_score, top_idx = jax.lax.top_k(score, K)   # [B,K]
-        is_stay = top_idx < K
-        e_idx = jnp.maximum(top_idx - K, 0)
-        # every selected candidate is (parent beam, char): stays are
-        # (own index, -1), extensions decode arithmetically from e_idx
-        n_parent = jnp.where(is_stay, jnp.minimum(top_idx, K - 1),
-                             e_idx // V)
-        n_char = jnp.where(is_stay, -1, e_idx % V)
-
-        # one-hot payload selection over the K parents — [B,K,K], tiny.
-        # Extensions need NO payload lookup at all: a selected extension's
-        # score IS its p_nb (top_score), its p_b is -inf, and its hash
-        # rolls arithmetically from the parent's.
-        oh_parent = n_parent[:, :, None] == jnp.arange(K, dtype=jnp.int32)
-        sel_p_f = lambda x: jnp.sum(
-            jnp.where(oh_parent, x[:, None, :], 0.0), axis=2)
-        sel_p_i = lambda x: jnp.sum(
-            jnp.where(oh_parent, x[:, None, :], 0), axis=2)
-
-        n_pb = jnp.where(is_stay, sel_p_f(stay_pb), LOG_ZERO)
-        n_pnb = jnp.where(is_stay, sel_p_f(stay_pnb), top_score)
-        # hashes roll arithmetically from the parent's hash — no gather
-        # into the [B,K,V] ext-hash grids needed
-        p_hash = sel_p_i(hashes)
-        p_hash2 = sel_p_i(hashes2)
-        n_hash = jnp.where(
-            is_stay, p_hash,
-            ((p_hash % _HASH_MOD) * _HASH_MULT + n_char) % _HASH_MOD)
-        n_hash2 = jnp.where(
-            is_stay, p_hash2,
-            ((p_hash2 % _HASH_MOD2) * _HASH_MULT2 + n_char) % _HASH_MOD2)
-
-        # ---- small per-beam bookkeeping (prefixes are reconstructed from
-        # the (parent, char) traceback on the host after the scan) ---------
-        extend = n_char >= 0
-        new_last = jnp.where(extend, n_char, sel_p_i(last))
-        new_ctx = sel_p_i(ctx)
-        if lm_order > 1:
-            rolled = (new_ctx * V + jnp.maximum(n_char, 0)) % C
-            new_ctx = jnp.where(extend, rolled, new_ctx)
-
-        # ---- freeze past utterance end -------------------------------------
-        alive = (t < lengths)[:, None]
-        sel = lambda n, o: jnp.where(alive, n, o)
-        k_ident = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K))
-        tb_parent = jnp.where(alive, n_parent, k_ident)   # frozen: identity
-        tb_char = jnp.where(alive, n_char, -1)            # frozen: no symbol
-        return ((sel(n_pb, pb), sel(n_pnb, pnb), sel(n_hash, hashes),
-                 sel(n_hash2, hashes2), sel(new_last, last),
-                 sel(new_ctx, ctx)),
-                (tb_parent, tb_char))
+        return _beam_step(state, lp, t, lengths, K=K, V=V,
+                          lm_table=lm_table, lm_rows=lm_rows,
+                          lm_order=lm_order, fuse=fuse, hashed=hashed,
+                          probes=probes, alpha=alpha, beta=beta)
 
     lp_tm = jnp.swapaxes(lp_all, 0, 1)                 # [T,B,V]
     ts = jnp.arange(T, dtype=jnp.int32)
     (pb, pnb, hashes, hashes2, last, ctx), (tb_parent, tb_char) = jax.lax.scan(
-        step, (pb, pnb, hashes, hashes2, last, ctx), (lp_tm, ts))
+        step, state0, (lp_tm, ts))
 
     final = jnp.logaddexp(jnp.maximum(pb, LOG_ZERO / 2),
                           jnp.maximum(pnb, LOG_ZERO / 2))
@@ -577,3 +606,142 @@ def beam_decode_nbest(logits, lengths, beam: int = 8, lm=None,
         mesh=mesh, axis=axis)
     pfx, plen = _unpack(np.asarray(packed), beam, max_len)
     return pfx, plen, np.asarray(final)
+
+
+# ---------------------------------------------------------------------------
+# streaming (chunk-carried) beam — decode/streaming.py's decoder="beam"
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("beam", "lm_order", "fuse",
+                                             "hashed", "probes"))
+def _beam_chunk_jit(logits, n_valid, state, beam, lm_table, lm_rows,
+                    lm_order, fuse, hashed, probes, ab):
+    """One streaming chunk of the prefix beam: scan ``logits [B,Cs,V]``
+    with the carried ``state`` (see ``beam_stream_init``), resolve the
+    IN-CHUNK traceback on device, and return (packed, final, new_state)
+    where packed int16 = chunk emissions [B,K·Cs] ‖ emission counts
+    [B,K] ‖ parent beam index at chunk start [B,K]. The recursion is
+    strictly causal, so chaining chunks reproduces the offline beam
+    bit-exactly on the same logits."""
+    B, Cs, V = logits.shape
+    K = beam
+    alpha, beta = ab[0], ab[1]
+    lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    def step(st, xs):
+        lp, t = xs                                     # [B,V], scalar
+        return _beam_step(st, lp, t, n_valid, K=K, V=V, lm_table=lm_table,
+                          lm_rows=lm_rows, lm_order=lm_order, fuse=fuse,
+                          hashed=hashed, probes=probes,
+                          alpha=alpha, beta=beta)
+
+    lp_tm = jnp.swapaxes(lp_all, 0, 1)                 # [Cs,B,V]
+    ts = jnp.arange(Cs, dtype=jnp.int32)
+    state, (tb_parent, tb_char) = jax.lax.scan(step, state, (lp_tm, ts))
+
+    # in-chunk traceback for ALL K beams (identity start: beam k at chunk
+    # end stays slot k — carried state is positional), same gather-free
+    # reverse scan + compaction sort as the offline traceback
+    k_iota = jnp.arange(K, dtype=jnp.int32)
+
+    def back(cur, tb):
+        tbp_t, tbc_t = tb                              # [B,K] each
+        oh = cur[:, :, None] == k_iota                 # [B,K,K_src]
+        ch = jnp.sum(jnp.where(oh, tbc_t[:, None, :], 0), axis=2)
+        nxt = jnp.sum(jnp.where(oh, tbp_t[:, None, :], 0), axis=2)
+        return nxt, ch
+
+    cur0 = jnp.broadcast_to(k_iota[None], (B, K))
+    parent0, chars = jax.lax.scan(back, cur0, (tb_parent, tb_char),
+                                  reverse=True)        # chars: [Cs,B,K]
+    valid = chars >= 0
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=0) - 1
+    elen = jnp.sum(valid, axis=0).astype(jnp.int32)    # [B,K]
+    key = jnp.where(valid, pos, Cs + ts[:, None, None])
+    key_t = jnp.moveaxis(key, 0, -1)                   # [B,K,Cs]
+    chars_t = jnp.moveaxis(chars, 0, -1)
+    _, sorted_chars = jax.lax.sort((key_t, chars_t), dimension=-1, num_keys=1)
+    final = jnp.logaddexp(jnp.maximum(state[0], LOG_ZERO / 2),
+                          jnp.maximum(state[1], LOG_ZERO / 2))
+    packed = jnp.concatenate(
+        [sorted_chars.reshape(B, K * Cs),
+         elen.astype(jnp.int32), parent0], axis=1).astype(jnp.int16)
+    return packed, final, state
+
+
+class BeamStreamDecoder:
+    """Incremental prefix-beam over chunked log-probabilities: device
+    state carried across chunks, per-beam token lists chained on the
+    host, and tokens FINALIZED once shared by every live beam (the
+    common live-beam prefix is monotone: every live candidate's base
+    score is finite, so its parent was live and already carried the
+    prefix — finalized tokens can never be retracted).
+
+    >>> dec = BeamStreamDecoder(batch, beam=8, lm=lm)
+    >>> for chunk_logits, n_valid in chunks:       # [B,Cs,V], [B]
+    ...     newly_final = dec.step(chunk_logits, n_valid)
+    >>> best = dec.finish()                        # full 1-best id lists
+    """
+
+    def __init__(self, batch: int, beam: int = 8, lm=None,
+                 alpha: float = 0.5, beta: float = 1.0):
+        self.batch, self.beam = batch, beam
+        self._lm, self._alpha, self._beta = lm, alpha, beta
+        self._state = None
+        self._lists = [[[] for _ in range(beam)] for _ in range(batch)]
+        self._done = [0] * batch           # finalized tokens per stream
+        self._final = None                 # device [B,K] scores, last chunk
+
+    def step(self, logits, n_valid) -> list[list[int]]:
+        """Advance by one chunk ([B, Cs, V] logits, [B] valid frame
+        counts); returns the ids newly finalized per stream."""
+        B, Cs, V = logits.shape
+        if B != self.batch:
+            raise ValueError(f"expected batch {self.batch}, got {B}")
+        if V > 32767 or Cs > 32767:
+            raise ValueError("streaming beam packs results as int16: "
+                             f"vocab {V} and chunk {Cs} must be <= 32767")
+        (lm_table, lm_rows, lm_order, fuse, hashed, probes,
+         alpha, beta) = _prep_lm(self._lm, V, self._alpha, self._beta)
+        ab = _ab_device(float(alpha), float(beta))
+        if self._state is None:
+            self._state = beam_stream_init(B, self.beam)
+        packed, final, self._state = _beam_chunk_jit(
+            jnp.asarray(logits), jnp.asarray(n_valid, jnp.int32),
+            self._state, self.beam, lm_table, lm_rows, lm_order, fuse,
+            hashed, probes, ab)
+        self._final = final
+        K = self.beam
+        arr = np.asarray(packed).astype(np.int32)      # ONE small pull
+        chars = arr[:, : K * Cs].reshape(B, K, Cs)
+        elen = arr[:, K * Cs : K * Cs + K]
+        parent0 = arr[:, K * Cs + K :]
+        fin = np.asarray(final)
+        new: list[list[int]] = []
+        for b in range(B):
+            old = self._lists[b]
+            self._lists[b] = [old[parent0[b, k]]
+                              + chars[b, k, : elen[b, k]].tolist()
+                              for k in range(K)]
+            live = [k for k in range(K) if fin[b, k] > LOG_ZERO / 4]
+            common = self._lists[b][live[0]] if live else []
+            for k in live[1:]:
+                other = self._lists[b][k]
+                n = 0
+                for x, y in zip(common, other):
+                    if x != y:
+                        break
+                    n += 1
+                common = common[:n]
+            new.append(common[self._done[b]:])
+            self._done[b] += len(new[-1])
+        return new
+
+    def finish(self) -> list[list[int]]:
+        """Best full hypothesis per stream (superset of everything the
+        ``step`` calls finalized)."""
+        if self._final is None:
+            return [[] for _ in range(self.batch)]
+        fin = np.asarray(self._final)
+        return [list(self._lists[b][int(np.argmax(fin[b]))])
+                for b in range(self.batch)]

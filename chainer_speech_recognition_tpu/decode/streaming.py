@@ -31,6 +31,12 @@ How each model component streams
   asserts streaming == offline in that regime).
 * **Greedy CTC collapse**: argmax per frame with the previous chunk's last
   raw frame id carried, so repeats collapse correctly across boundaries.
+* **Prefix beam search** (``decoder="beam"``, optional LM fusion): the
+  beam recursion is strictly causal, so the [B,K] hypothesis state
+  (p_blank/p_nonblank, prefix hashes, LM contexts) carries across chunks
+  EXACTLY (decode/beam.py ``_beam_chunk_jit``) — chunked beam equals the
+  offline beam on the same logits. Tokens are finalized once every live
+  beam agrees on them (monotone); ``flush`` tops up with the 1-best tail.
 
 Latency = (chunk_frames + right_frames) × 10 ms of audio buffering plus
 one step of compute; throughput scales with the lockstep batch.
@@ -156,7 +162,13 @@ class StreamingRecognizer:
 
     def __init__(self, model, params, cfg, *, batch: int = 1,
                  chunk_frames: int = 64, right_frames: int = 16,
-                 left_margin: int | None = None):
+                 left_margin: int | None = None, decoder: str = "greedy",
+                 beam: int = 8, lm=None, lm_alpha: float = 0.5,
+                 lm_beta: float = 1.0):
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"decoder={decoder!r}: expected greedy|beam")
+        self._decoder = decoder
+        self._beam_args = (beam, lm, lm_alpha, lm_beta)
         if cfg.features.cmvn_arg not in (False, "causal"):
             raise ValueError(
                 "streaming needs features.cmvn_mode='causal' (or cmvn off): "
@@ -189,6 +201,7 @@ class StreamingRecognizer:
         C_s = self._C_s
 
         use_cmvn = bool(self.cfg.features.cmvn_arg)
+        mode = self._decoder
 
         def step(params, ext, frame_valid, cmvn_carry, rnn_carries, prev_id):
             logits, lens, new_cmvn, new_rnn = _window_logits(
@@ -197,6 +210,13 @@ class StreamingRecognizer:
                 W_lm=W_lm, lo=lo, W_ft=W_ft, drop_left=drop_left,
                 carry_at=carry_at, cmvn_index=cmvn_index,
                 use_cmvn=use_cmvn)
+            if mode == "beam":
+                # the emit-region logits leave this jit; the carried-state
+                # chunk beam (decode/beam.py::_beam_chunk_jit) consumes
+                # them device-to-device — prev_id rides along unused
+                n = jnp.clip(lens, 0, C_s)
+                return (logits[:, :C_s].astype(jnp.float32), n,
+                        (new_cmvn, new_rnn, prev_id))
             ids, keep, n, last = _emit_greedy(logits, lens, prev_id, C_s)
             return ids, keep, n, (new_cmvn, new_rnn, last)
 
@@ -217,6 +237,14 @@ class StreamingRecognizer:
         self._out: list[list[int]] = [[] for _ in range(B)]
         self._emitted_upto = [0] * B     # consumed ids per stream
         self._finished = False
+        if self._decoder == "beam":
+            from .beam import BeamStreamDecoder
+
+            k, lm, a, bb = self._beam_args
+            self._beamdec = BeamStreamDecoder(B, beam=k, lm=lm,
+                                              alpha=a, beta=bb)
+        else:
+            self._beamdec = None
 
     @property
     def emitted(self) -> list[list[int]]:
@@ -267,6 +295,13 @@ class StreamingRecognizer:
         self._finished = True
         total = 1 + ns // C.HOP_LENGTH                 # num_frames per stream
         out = self._drain(finishing=True, total_frames=total, lengths=ns)
+        if self._beamdec is not None:
+            # the drain finalized only the tokens every live beam agreed
+            # on; at stream end the 1-BEST hypothesis wins outright
+            for b, best in enumerate(self._beamdec.finish()):
+                extra = best[len(self._out[b]):]
+                self._out[b].extend(extra)
+                out[b].extend(extra)
         return out
 
     # ------------------------------------------------------------ driver --
@@ -293,16 +328,26 @@ class StreamingRecognizer:
             else:
                 fv = np.full((self.batch,), W_lm, np.int32)
             step = self._step_first if self._first else self._step_mid
-            ids, keep, n, (cmvn, rnn, prev) = step(
-                self.params, jnp.asarray(ext), jnp.asarray(fv),
-                self._cmvn, self._rnn, self._prev)
-            self._cmvn, self._rnn, self._prev = cmvn, rnn, prev
-            ids = np.asarray(ids)
-            keep = np.asarray(keep)
-            for b in range(self.batch):
-                kept = ids[b][keep[b]].tolist()
-                self._out[b].extend(kept)
-                new[b].extend(kept)
+            if self._decoder == "beam":
+                logits_c, n, (cmvn, rnn, prev) = step(
+                    self.params, jnp.asarray(ext), jnp.asarray(fv),
+                    self._cmvn, self._rnn, self._prev)
+                self._cmvn, self._rnn, self._prev = cmvn, rnn, prev
+                # tokens finalize when every live beam agrees on them
+                for b, kept in enumerate(self._beamdec.step(logits_c, n)):
+                    self._out[b].extend(kept)
+                    new[b].extend(kept)
+            else:
+                ids, keep, n, (cmvn, rnn, prev) = step(
+                    self.params, jnp.asarray(ext), jnp.asarray(fv),
+                    self._cmvn, self._rnn, self._prev)
+                self._cmvn, self._rnn, self._prev = cmvn, rnn, prev
+                ids = np.asarray(ids)
+                keep = np.asarray(keep)
+                for b in range(self.batch):
+                    kept = ids[b][keep[b]].tolist()
+                    self._out[b].extend(kept)
+                    new[b].extend(kept)
             self._t0 += g["C"]
             self._first = False
         return new

@@ -337,6 +337,24 @@ def test_cli_streaming(tmp_path, capsys):
     joined = "".join(p.split("] ", 1)[1] for p in partials)
     assert joined == offline[wavs[0]]
 
+    # (c) streaming beam through the CLI == offline beam decode exactly
+    decode_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab,
+                     "--beam", "4", *wavs])
+    off_beam = {l.split("\t")[0]: l.split("\t", 1)[1]
+                for l in capsys.readouterr().out.splitlines() if "\t" in l}
+    stream_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab, "--batch", "2",
+                     "--chunk-frames", "16", "--right-frames", "8",
+                     "--beam", "4", *wavs])
+    stream_beam = {l.split("\t")[0]: l.split("\t", 1)[1]
+                   for l in capsys.readouterr().out.splitlines()
+                   if "\t" in l}
+    assert stream_beam == off_beam
+
+    # guard: --lm without --beam fails loudly
+    with pytest.raises(SystemExit, match="beam"):
+        stream_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab,
+                         "--lm", "x.arpa", wavs[0]])
+
     # guard: a non-causal checkpoint is refused with the retrain hint
     ckpt2 = str(tmp_path / "ckpts_utt")
     train_cli.main(["--data-dir", out, "--preset", "tiny_conv",

@@ -157,3 +157,95 @@ def test_geometry_rounds_to_subsample_factor():
     assert g["C"] % s == 0 and g["R"] % s == 0 and g["La"] % s == 0
     assert g["C"] >= 13 and g["R"] >= 3
     assert g["La"] >= model.conv_receptive_margin()
+
+
+def _offline_beam_ids(model, cfg, params, pcm, ns, **kw):
+    from chainer_speech_recognition_tpu.decode.beam import beam_decode
+    from chainer_speech_recognition_tpu.frontend.jnp_frontend import (
+        batch_features)
+    import jax.numpy as jnp
+
+    feats, flens = batch_features(
+        jnp.asarray(pcm), jnp.asarray(np.asarray(ns, np.int32)),
+        apply_cmvn=cfg.features.cmvn_arg)
+    logits, olens = model.apply(params, feats, flens)
+    return beam_decode(logits, olens, **kw)
+
+
+def test_streaming_beam_equals_offline_beam():
+    """decoder='beam': the prefix-beam recursion is strictly causal, so
+    the chunk-carried state reproduces the OFFLINE beam exactly wherever
+    the logits are exact (conv-only model) — including across multiple
+    window boundaries and two streams of different true lengths."""
+    cfg, model, params = _setup("tiny_conv", seed=11)
+    ns = [9600, 7040]
+    pcm = _pcm((2, max(ns)), seed=12)
+    pcm[1, ns[1]:] = 0.0
+
+    rec = StreamingRecognizer(model, params, cfg, batch=2,
+                              chunk_frames=16, right_frames=8,
+                              decoder="beam", beam=4)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=ns)
+    off = _offline_beam_ids(model, cfg, params, pcm, ns, beam=4)
+    assert rec.emitted == off
+
+
+def test_streaming_beam_lm_fusion_matches_offline():
+    """Streaming beam with dense n-gram LM fusion == offline beam+LM:
+    the rolled LM context ids carry across chunks exactly."""
+    from chainer_speech_recognition_tpu.decode.lm import NGramLM
+
+    cfg, model, params = _setup("tiny_conv", seed=13)
+    n = 9600
+    pcm = _pcm((1, n), seed=14)
+
+    rng = np.random.default_rng(15)
+    V = cfg.model.vocab_size
+    lm = NGramLM(2, V)
+    lm.logp[0][()] = {c: float(np.log(0.5 / V)) for c in range(1, V)}
+    for c0 in range(1, V):
+        succ = rng.integers(1, V, size=3)
+        lp = np.log(rng.dirichlet(np.ones(3)) * 0.6)
+        lm.logp[1][(int(c0),)] = {int(c): float(p)
+                                  for c, p in zip(succ, lp)}
+        lm.backoff[1][(int(c0),)] = float(np.log(0.4))
+
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=8,
+                              decoder="beam", beam=4, lm=lm,
+                              lm_alpha=0.7, lm_beta=0.8)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=[n])
+    off = _offline_beam_ids(model, cfg, params, pcm, [n],
+                            beam=4, lm=lm, alpha=0.7, beta=0.8)
+    assert rec.emitted == off
+
+
+def test_streaming_beam_finalized_is_stable_prefix():
+    """Eagerly-drained beam streaming: every `accept` return extends the
+    previous ones (finalized tokens are never retracted), their
+    concatenation plus the flush tail equals `emitted`, and the result
+    matches the buffered run."""
+    cfg, model, params = _setup("tiny_conv", seed=16)
+    n = 12800
+    pcm = _pcm((n,), seed=17)
+
+    def mk():
+        return StreamingRecognizer(model, params, cfg, batch=1,
+                                   chunk_frames=16, right_frames=8,
+                                   decoder="beam", beam=4)
+
+    rec = mk()
+    seen: list[int] = []
+    for a in range(0, n, 1600):
+        seen += rec.accept(pcm[a : a + 1600])[0]
+        # everything reported so far is a prefix of the running state
+        assert rec.emitted[0][: len(seen)] == seen
+    seen += rec.flush()[0]
+    assert seen == rec.emitted[0]
+
+    buf = mk()
+    buf.accept(pcm, drain=False)
+    buf.flush(num_samples=[n])
+    assert rec.emitted == buf.emitted
