@@ -39,6 +39,16 @@ def _print_partial(stream_name, t_samples, text, file=sys.stdout):
           file=file, flush=True)
 
 
+def _print_new_segments(rec, vocab, seen: int, name: str) -> int:
+    """Endpointing: print utterances finalized since `seen` as their own
+    lines (frame index × 10 ms = end time); returns the new count."""
+    segs = rec.segments[0]
+    for ids, end_frame in segs[seen:]:
+        print(f"[{name} utterance ended @ {end_frame / 100.0:7.2f}s] "
+              f"{vocab.decode(ids)}", flush=True)
+    return len(segs)
+
+
 def _stream_wavs(args, rec, vocab):
     """Length-sorted lockstep batches over the wav list (same bounded-
     memory discipline as cli/decode.py): PCM buffers in block-size pieces
@@ -77,14 +87,17 @@ def _stream_wavs_partials(args, rec, vocab):
     for path in args.wavs:
         sig = read_wav(path)
         rec.reset()
+        n_seg = 0
         for off in range(0, len(sig), blk):
             new = rec.accept(sig[None, off : off + blk])
             if new[0]:
                 _print_partial(path, min(off + blk, len(sig)),
                                vocab.decode(new[0]))
+            n_seg = _print_new_segments(rec, vocab, n_seg, path)
         new = rec.flush()
         if new[0]:
             _print_partial(path, len(sig), vocab.decode(new[0]))
+        _print_new_segments(rec, vocab, n_seg, path)
         print(f"{path}\t{vocab.decode(rec.emitted[0])}", flush=True)
 
 
@@ -93,6 +106,7 @@ def _stream_stdin(args, rec, vocab):
     blk_bytes = 2 * max(int(args.block_ms * C.SAMPLE_RATE / 1000), 1)
     src = sys.stdin.buffer
     total = 0
+    n_seg = 0
     while True:
         raw = src.read(blk_bytes)
         if not raw:
@@ -104,9 +118,11 @@ def _stream_stdin(args, rec, vocab):
         new = rec.accept(pcm[None])
         if new[0]:
             _print_partial("stdin", total, vocab.decode(new[0]))
+        n_seg = _print_new_segments(rec, vocab, n_seg, "stdin")
     new = rec.flush()
     if new[0]:
         _print_partial("stdin", total, vocab.decode(new[0]))
+    _print_new_segments(rec, vocab, n_seg, "stdin")
     print(vocab.decode(rec.emitted[0]), flush=True)
 
 
@@ -133,6 +149,10 @@ def main(argv=None):
                         "latency = (chunk+right) x 10 ms + compute")
     p.add_argument("--block-ms", type=float, default=100.0,
                    help="PCM feed granularity (simulated real time)")
+    p.add_argument("--endpoint-ms", type=float, default=None,
+                   help="CTC endpointing: close an utterance after this "
+                        "much trailing argmax-blank; finished utterances "
+                        "print as their own lines (live/partials modes)")
     p.add_argument("--batch", type=int, default=8,
                    help="wav mode: lockstep streams per compiled step")
     p.add_argument("--partials", action="store_true",
@@ -177,7 +197,8 @@ def main(argv=None):
         model, state.params, cfg, batch=batch,
         chunk_frames=args.chunk_frames, right_frames=args.right_frames,
         decoder="beam" if args.beam > 0 else "greedy", beam=args.beam,
-        lm=lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta)
+        lm=lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
+        endpoint_ms=args.endpoint_ms)
 
     if args.raw:
         _stream_stdin(args, rec, vocab)

@@ -745,3 +745,28 @@ class BeamStreamDecoder:
         fin = np.asarray(self._final)
         return [list(self._lists[b][int(np.argmax(fin[b]))])
                 for b in range(self.batch)]
+
+    def end_rows(self, rows) -> dict:
+        """Utterance boundary (endpointing) for the given stream rows:
+        returns {row: 1-best tail beyond the already-finalized tokens}
+        and re-initializes those rows' beam state + host lists for the
+        next utterance; other rows are untouched."""
+        if self._state is None or not rows:
+            return {b: [] for b in rows}
+        fin = np.asarray(self._final)
+        tails = {}
+        for b in rows:
+            best = self._lists[b][int(np.argmax(fin[b]))]
+            tails[b] = best[self._done[b]:]
+            self._lists[b] = [[] for _ in range(self.beam)]
+            self._done[b] = 0
+        mask = np.zeros((self.batch,), bool)
+        mask[list(rows)] = True
+        m = jnp.asarray(mask)[:, None]
+        init = beam_stream_init(self.batch, self.beam)
+        self._state = tuple(jnp.where(m, i, s)
+                            for i, s in zip(init, self._state))
+        init_final = jnp.logaddexp(jnp.maximum(init[0], LOG_ZERO / 2),
+                                   jnp.maximum(init[1], LOG_ZERO / 2))
+        self._final = jnp.where(m, init_final, self._final)
+        return tails

@@ -164,11 +164,18 @@ class StreamingRecognizer:
                  chunk_frames: int = 64, right_frames: int = 16,
                  left_margin: int | None = None, decoder: str = "greedy",
                  beam: int = 8, lm=None, lm_alpha: float = 0.5,
-                 lm_beta: float = 1.0):
+                 lm_beta: float = 1.0, endpoint_ms: float | None = None):
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"decoder={decoder!r}: expected greedy|beam")
         self._decoder = decoder
         self._beam_args = (beam, lm, lm_alpha, lm_beta)
+        # CTC endpointing: an utterance ends once the argmax has been
+        # blank for >= endpoint_ms of audio (checked at chunk granularity)
+        # — the finished segment lands in ``self.segments`` and the
+        # decoder/RNN state resets for the next utterance (causal-CMVN
+        # stats keep flowing: the channel does not change at a boundary)
+        self._ep_frames = (None if endpoint_ms is None
+                           else max(int(endpoint_ms / 10), 1))
         if cfg.features.cmvn_arg not in (False, "causal"):
             raise ValueError(
                 "streaming needs features.cmvn_mode='causal' (or cmvn off): "
@@ -213,9 +220,11 @@ class StreamingRecognizer:
             if mode == "beam":
                 # the emit-region logits leave this jit; the carried-state
                 # chunk beam (decode/beam.py::_beam_chunk_jit) consumes
-                # them device-to-device — prev_id rides along unused
+                # them device-to-device — prev_id rides along unused;
+                # the argmax ids ride out for the endpoint tracker
                 n = jnp.clip(lens, 0, C_s)
-                return (logits[:, :C_s].astype(jnp.float32), n,
+                ids = jnp.argmax(logits[:, :C_s], axis=-1).astype(jnp.int32)
+                return (logits[:, :C_s].astype(jnp.float32), ids, n,
                         (new_cmvn, new_rnn, prev_id))
             ids, keep, n, last = _emit_greedy(logits, lens, prev_id, C_s)
             return ids, keep, n, (new_cmvn, new_rnn, last)
@@ -228,8 +237,13 @@ class StreamingRecognizer:
         B = self.batch
         self._buf = np.zeros((B, 0), np.float32)
         self._n = 0                      # buffered samples (per stream)
+        self._base = 0                   # samples trimmed off _buf's front
         self._t0 = 0                     # next emit frame
         self._first = True
+        self._trail = np.zeros((B,), np.int64)   # trailing blank subframes
+        self._seg_start = [0] * B        # _out offset of the open segment
+        self.segments: list[list[tuple[list[int], int]]] = \
+            [[] for _ in range(B)]       # (ids, end 10ms-frame) per utt
         self._cmvn = None                # device carry after first window
         self._rnn = [jnp.asarray(h) for h in
                      self.model.init_stream_carries(B)]
@@ -297,11 +311,20 @@ class StreamingRecognizer:
         out = self._drain(finishing=True, total_frames=total, lengths=ns)
         if self._beamdec is not None:
             # the drain finalized only the tokens every live beam agreed
-            # on; at stream end the 1-BEST hypothesis wins outright
+            # on; at stream end the 1-BEST hypothesis wins outright.
+            # (after a final endpoint reset the finished rows' lists are
+            # empty, so `best` only extends genuinely-open utterances)
             for b, best in enumerate(self._beamdec.finish()):
-                extra = best[len(self._out[b]):]
+                # _seg_start is 0 unless endpointing split the stream
+                extra = best[len(self._out[b]) - self._seg_start[b]:]
                 self._out[b].extend(extra)
                 out[b].extend(extra)
+        if self._ep_frames is not None:
+            for b in range(self.batch):   # close the open segments
+                seg = self._out[b][self._seg_start[b]:]
+                if seg:
+                    self.segments[b].append((seg, int(total[b])))
+                    self._seg_start[b] = len(self._out[b])
         return out
 
     # ------------------------------------------------------------ driver --
@@ -329,7 +352,7 @@ class StreamingRecognizer:
                 fv = np.full((self.batch,), W_lm, np.int32)
             step = self._step_first if self._first else self._step_mid
             if self._decoder == "beam":
-                logits_c, n, (cmvn, rnn, prev) = step(
+                logits_c, ids, n, (cmvn, rnn, prev) = step(
                     self.params, jnp.asarray(ext), jnp.asarray(fv),
                     self._cmvn, self._rnn, self._prev)
                 self._cmvn, self._rnn, self._prev = cmvn, rnn, prev
@@ -350,7 +373,61 @@ class StreamingRecognizer:
                     new[b].extend(kept)
             self._t0 += g["C"]
             self._first = False
+            if self._ep_frames is not None:
+                self._endpoint_check(np.asarray(ids), np.asarray(n), new)
+            if not finishing:
+                self._trim()
         return new
+
+    def _endpoint_check(self, ids, n, new) -> None:
+        """CTC endpointer: fire an utterance boundary for every stream
+        whose argmax has been blank for >= endpoint_ms (threshold crossed
+        at chunk granularity). ids [B, C_s] raw argmax, n [B] valid."""
+        g = self.geo
+        s = g["s"]
+        fired, trail_at = [], {}
+        for b in range(self.batch):
+            row = ids[b, : n[b]]
+            nz = np.nonzero(row != BLANK_ID)[0]
+            if nz.size == 0:
+                self._trail[b] += int(n[b])
+            else:
+                self._trail[b] = int(n[b]) - 1 - int(nz[-1])
+            if self._trail[b] * s >= self._ep_frames:
+                fired.append(b)
+                trail_at[b] = int(self._trail[b])
+                self._trail[b] = 0       # re-arms after more silence
+        if not fired:
+            return
+        if self._beamdec is not None:
+            # unfinalized 1-best tails land in the closing segments
+            for b, tail in self._beamdec.end_rows(fired).items():
+                self._out[b].extend(tail)
+                new[b].extend(tail)
+        rows = np.asarray(fired)
+        for b in fired:
+            seg = self._out[b][self._seg_start[b]:]
+            if seg:                      # silence-only periods: reset only
+                end = self._t0 - trail_at[b] * s      # ~last speech frame
+                self.segments[b].append((seg, int(end)))
+                self._seg_start[b] = len(self._out[b])
+        # next utterance starts fresh: forward-RNN state + greedy repeat
+        # carry reset (causal-CMVN stats continue — same channel)
+        self._rnn = [h.at[rows].set(0.0) for h in self._rnn]
+        self._prev = self._prev.at[rows].set(BLANK_ID)
+
+    def _trim(self) -> None:
+        """Bound host memory on long-form streams: PCM the next window
+        can no longer reach is dropped from the front of the buffer
+        (in >=16 s slabs so the copies amortize). Only the eager-drain
+        path trims; buffered lockstep decoding (drain=False) holds the
+        caller-supplied audio whole anyway."""
+        g = self.geo
+        nxt = (self._t0 - g["La"] - _D) * C.HOP_LENGTH - _PAD
+        cut = min(nxt, self._n)
+        if cut - self._base >= 262_144:
+            self._buf = self._buf[:, cut - self._base :].copy()
+            self._base = cut
 
     def _assemble(self, g0: int, W_lm: int, lengths) -> np.ndarray:
         """Host window assembly: PCM samples (with start/end reflection
@@ -360,23 +437,25 @@ class StreamingRecognizer:
         SZ = (W_lm + _K + 1) * C.HOP_LENGTH
         start = g0 * C.HOP_LENGTH - _PAD
         ext = np.zeros((B, SZ), np.float32)
-        for b in range(B):
+        base = self._base            # samples trimmed off _buf's front:
+        for b in range(B):           # absolute position p lives at p−base
             L = int(lengths[b]) if lengths is not None else self._n
             buf = self._buf[b]
             # real samples [max(start,0), min(L, start+SZ))
-            s0 = max(start, 0)
+            s0 = max(start, base)    # start ≥ base by trim monotonicity
             s1 = min(L, start + SZ)
             if s1 > s0:
-                ext[b, s0 - start : s1 - start] = buf[s0:s1]
+                ext[b, s0 - start : s1 - start] = buf[s0 - base : s1 - base]
             if start < 0 and L >= 1:
-                # start reflection: sample −k = buf[k], k = 1.._PAD
-                # (clipped to the true length for degenerate tiny streams)
+                # start reflection: sample −k = buf[k], k = 1.._PAD — only
+                # the first windows reach here, long before any trim
+                # (base == 0: _trim's 16 s slab floor guarantees it)
                 k = np.minimum(np.arange(1, -start + 1), max(L - 1, 0))
                 ext[b, :-start] = buf[k][::-1]
-            if lengths is not None and L < start + SZ and L >= 1:
+            if lengths is not None and L < start + SZ and L - 1 >= base:
                 # end reflection: sample L+k = buf[L−2−k], k = 0.._PAD−1
                 k0 = max(L, start)                     # first refl sample
                 kk = np.arange(k0, min(L + _PAD, start + SZ))
-                src = np.clip(L - 2 - (kk - L), 0, max(L - 1, 0))
-                ext[b, kk - start] = buf[src]
+                src = np.clip(L - 2 - (kk - L), base, max(L - 1, base))
+                ext[b, kk - start] = buf[src - base]
         return ext

@@ -249,3 +249,93 @@ def test_streaming_beam_finalized_is_stable_prefix():
     buf.accept(pcm, drain=False)
     buf.flush(num_samples=[n])
     assert rec.emitted == buf.emitted
+
+
+def test_endpointing_segments_and_invariance():
+    """CTC endpointing (trailing-blank utterance boundaries): two tone
+    bursts separated by 2 s of silence split into two segments, the
+    segment ids concatenate to `emitted`, and — conv-only, CMVN off, so
+    the endpoint state resets are no-ops — `emitted` matches the
+    non-endpointing run exactly. (Init seed 13 maps silence → blank.)"""
+    from chainer_speech_recognition_tpu.data.synthetic import make_utterance
+
+    cfg, model, params = _setup("tiny_conv", seed=13, cmvn=False)
+    rng = np.random.default_rng(0)
+    sig1, _ = make_utterance(rng, [1, 2, 3], tone_len=1600)
+    sig2, _ = make_utterance(rng, [3, 1], tone_len=1600)
+    sil = np.zeros(32000, np.float32)
+    pcm = np.concatenate([sig1, sil, sig2, sil]).astype(np.float32)
+
+    def run(**kw):
+        rec = StreamingRecognizer(model, params, cfg, batch=1,
+                                  chunk_frames=16, right_frames=8, **kw)
+        for a in range(0, len(pcm), 1600):
+            rec.accept(pcm[a : a + 1600])
+        rec.flush()
+        return rec
+
+    plain = run()
+    ep = run(endpoint_ms=600)
+    assert ep.emitted == plain.emitted          # resets were no-ops here
+    segs = ep.segments[0]
+    assert len(segs) == 2, segs
+    assert sum((s for s, _ in segs), []) == ep.emitted[0]
+    ends = [e for _, e in segs]
+    assert ends == sorted(ends) and ends[-1] <= 1 + len(pcm) // 160
+    # the first boundary fired inside the first silence, not at flush
+    assert ends[0] < (len(sig1) + len(sil)) // 160
+
+
+def test_endpointing_beam_segments():
+    """Endpointing composes with the streaming beam: per-row beam-state
+    resets at boundaries, unfinalized 1-best tails land in the closing
+    segment, and segments still concatenate to `emitted`."""
+    from chainer_speech_recognition_tpu.data.synthetic import make_utterance
+
+    cfg, model, params = _setup("tiny_conv", seed=13, cmvn=False)
+    rng = np.random.default_rng(1)
+    sig1, _ = make_utterance(rng, [2, 3], tone_len=1600)
+    sig2, _ = make_utterance(rng, [1, 3, 2], tone_len=1600)
+    sil = np.zeros(32000, np.float32)
+    pcm = np.concatenate([sig1, sil, sig2, sil]).astype(np.float32)
+
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=8,
+                              decoder="beam", beam=4, endpoint_ms=600)
+    for a in range(0, len(pcm), 1600):
+        rec.accept(pcm[a : a + 1600])
+    rec.flush()
+    segs = rec.segments[0]
+    # a RANDOM model's beam legitimately finds non-blank hypotheses inside
+    # argmax-blank silence, so the silences may add segments beyond the
+    # two tone bursts — the invariants are structural:
+    assert len(segs) >= 2, segs
+    assert sum((s for s, _ in segs), []) == rec.emitted[0]
+    assert all(s for s, _ in segs)
+    ends = [e for _, e in segs]
+    assert ends == sorted(ends)
+
+
+@pytest.mark.slow
+def test_long_form_buffer_trim_invariance():
+    """Long-form eager streaming trims consumed PCM off the host buffer
+    (bounded memory) without changing the transcription: a 40 s stream
+    decoded eagerly (trim active) equals the buffered untrimmed run."""
+    cfg, model, params = _setup("tiny_conv", seed=13, cmvn=False)
+    n = 16000 * 40
+    pcm = _pcm((n,), seed=20)
+
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=8)
+    for a in range(0, n, 16000):
+        rec.accept(pcm[a : a + 16000])
+    assert rec._base > 0, "40 s of eager draining should have trimmed"
+    assert rec._buf.shape[1] < 16000 * 20
+    rec.flush()
+
+    buf = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=8)
+    buf.accept(pcm, drain=False)
+    assert buf._base == 0
+    buf.flush(num_samples=[n])
+    assert rec.emitted == buf.emitted
