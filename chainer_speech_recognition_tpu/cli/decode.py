@@ -28,6 +28,9 @@ def main(argv=None):
     respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--average-last", type=int, default=1,
+                   help="average the parameters of the last N kept "
+                        "checkpoints (eval-time checkpoint averaging)")
     p.add_argument("--vocab", required=True, help="vocab.txt path")
     p.add_argument("--beam", type=int, default=0,
                    help="beam width (0 = greedy)")
@@ -71,7 +74,8 @@ def main(argv=None):
         print(f"warning: --nbest {args.nbest} clamped to beam width "
               f"{args.beam}", file=sys.stderr)   # stdout is the result TSV
 
-    cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
+    cfg, model, state, _ = load_model_and_params(args.ckpt_dir,
+                                               args.average_last)
     vocab = Vocab.load(args.vocab)
     if len(vocab) != cfg.model.vocab_size:
         raise SystemExit(

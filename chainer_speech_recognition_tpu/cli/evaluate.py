@@ -25,7 +25,11 @@ from ..vocab import Vocab
 from ..utils.runtime import respect_jax_platforms
 
 
-def load_model_and_params(ckpt_dir: str):
+def load_model_and_params(ckpt_dir: str, average_last: int = 1):
+    """Load the latest checkpoint; ``average_last=N`` instead AVERAGES the
+    parameters of the last N checkpoints (classic eval-time checkpoint
+    averaging — the kept-N training checkpoints act as a cheap ensemble;
+    optimizer state stays the latest's)."""
     cfg = load_config(ckpt_dir)
     model = build_model(cfg.model)
     ex = jnp.zeros((1, cfg.buckets.boundaries[0], cfg.features.n_mels, 3),
@@ -36,6 +40,23 @@ def load_model_and_params(ckpt_dir: str):
     if path is None:
         raise SystemExit(f"no checkpoint found in {ckpt_dir}")
     state = restore_checkpoint(path, state)
+    if average_last > 1:
+        from ..train.checkpoint import list_checkpoints
+
+        names = list_checkpoints(ckpt_dir)[-average_last:]
+        if len(names) < average_last:
+            raise SystemExit(
+                f"--average-last {average_last}: only {len(names)} "
+                f"checkpoints in {ckpt_dir} (raise train.keep_checkpoints)")
+        states = [restore_checkpoint(os.path.join(ckpt_dir, n), state)
+                  for n in names]
+        inv = 1.0 / len(states)
+        params = jax.tree.map(
+            lambda *xs: (sum(x.astype(jnp.float32) for x in xs)
+                         * inv).astype(xs[-1].dtype),
+            *(s.params for s in states))
+        state = dataclasses.replace(states[-1], params=params)
+        path = f"avg[{','.join(names)}]"
     return cfg, model, state, path
 
 
@@ -43,6 +64,9 @@ def main(argv=None):
     respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--average-last", type=int, default=1,
+                   help="average the parameters of the last N kept "
+                        "checkpoints (eval-time checkpoint averaging)")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--index", default="dev_index.jsonl",
                    help="index file(s) under --data-dir; comma-separated "
@@ -79,9 +103,24 @@ def main(argv=None):
                    help="batches whose logits stay device-resident at once "
                         "during --tune-lm (bounds HBM residency on large "
                         "dev sets; the acoustic pass still runs ONCE)")
+    p.add_argument("--streaming", action="store_true",
+                   help="score through the ONLINE recognizer "
+                        "(decode/streaming.py) instead of the offline "
+                        "forward — the latency-bound quality a deployed "
+                        "streaming service would ship; --beam/--lm select "
+                        "the streaming decoder; needs a causal-CMVN "
+                        "checkpoint")
+    p.add_argument("--stream-chunk", type=int, default=64,
+                   help="streaming: emitted frames per step (10 ms units)")
+    p.add_argument("--stream-right", type=int, default=16,
+                   help="streaming: lookahead frames — buffering latency "
+                        "= (chunk + right) x 10 ms")
+    p.add_argument("--stream-batch", type=int, default=16,
+                   help="streaming: lockstep streams per compiled step")
     args = p.parse_args(argv)
 
-    cfg, model, state, path = load_model_and_params(args.ckpt_dir)
+    cfg, model, state, path = load_model_and_params(args.ckpt_dir,
+                                               args.average_last)
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.txt"))
     if len(vocab) != cfg.model.vocab_size:
         raise SystemExit(
@@ -97,6 +136,9 @@ def main(argv=None):
     if args.lm and args.beam <= 0:
         raise SystemExit("--lm requires --beam K (greedy scoring cannot "
                          "apply LM fusion)")
+    if args.streaming and (args.compare or args.tune_lm):
+        raise SystemExit("--streaming scores one decoder; it combines with "
+                         "--beam/--lm but not --compare/--tune-lm")
 
     # shard eval over every available device when the static bucket batch
     # sizes split evenly (VERDICT r1 missing #3); else single-device
@@ -137,7 +179,9 @@ def main(argv=None):
             root_, ext_ = os.path.splitext(hyp_out)
             hyp_out = f"{root_}.{stem}{ext_}"
 
-        if sampler.num_dropped:
+        if sampler.num_dropped and not args.streaming:
+            # the streaming path below is bucket-free and scores every
+            # utterance, so the drop warning would be wrong there
             print(f"{tag}warning: {sampler.num_dropped}/{len(utts)} utterances "
                   "exceed the bucket boundaries / max_label_len, NOT scored")
 
@@ -146,6 +190,54 @@ def main(argv=None):
                 for i, text in sorted(sink):
                     f.write(f"{utts[i].utt_id}\t{text}\n")
             print(f"wrote {len(sink)} hypotheses -> {hyp_out}")
+
+        if args.streaming:
+            import numpy as np
+
+            from ..data.corpus import load_signal
+            from ..decode.metrics import CERAccumulator
+            from ..decode.streaming import StreamingRecognizer
+            from ..utils.wav import read_wav
+
+            S = max(1, args.stream_batch)
+            rec = StreamingRecognizer(
+                model, state.params, cfg, batch=S,
+                chunk_frames=args.stream_chunk,
+                right_frames=args.stream_right,
+                decoder="beam" if args.beam > 0 else "greedy",
+                beam=args.beam, lm=lm_dense, lm_alpha=args.lm_alpha,
+                lm_beta=args.lm_beta)
+            acc = CERAccumulator()
+            sink = [] if hyp_out else None
+            # length-sorted lockstep batches (bounded padding waste);
+            # buffered accept + per-stream true-length flush — the exact
+            # lockstep semantics of StreamingRecognizer
+            order = sorted(range(len(utts)),
+                           key=lambda i: utts[i].num_samples)
+            for s0 in range(0, len(order), S):
+                grp = order[s0 : s0 + S]
+                rows = grp + [grp[0]] * (S - len(grp))
+                sigs = [load_signal(utts[i], read_wav) for i in rows]
+                ns = np.asarray([len(x) for x in sigs], np.int64)
+                pcm = np.zeros((S, int(ns.max())), np.float32)
+                for r, x in enumerate(sigs):
+                    pcm[r, : len(x)] = x
+                rec.reset()
+                rec.accept(pcm, drain=False)
+                rec.flush(num_samples=ns)
+                texts = [vocab.decode(rec.emitted[r])
+                         for r in range(len(grp))]
+                acc.add_batch(texts, [utts[i].text for i in grp])
+                if sink is not None:
+                    sink.extend(zip(grp, texts))
+            g = rec.geo
+            print(f"{tag}CER[streaming] {acc.cer:.4f} | {acc.num_utts} utts "
+                  f"| {acc.edits} edits / {acc.ref_len} ref chars | "
+                  f"chunk {g['C']} + lookahead {g['R']} frames "
+                  f"(~{(g['C'] + g['R']) * 10} ms buffering)")
+            if sink is not None:
+                write_hyps(sink)
+            continue
 
         if args.tune_lm:
             if args.beam <= 0 or lm_dense is None:

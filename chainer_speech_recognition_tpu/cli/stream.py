@@ -130,6 +130,9 @@ def main(argv=None):
     respect_jax_platforms()  # explicit JAX_PLATFORMS env wins over config pins
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--average-last", type=int, default=1,
+                   help="average the parameters of the last N kept "
+                        "checkpoints (eval-time checkpoint averaging)")
     p.add_argument("--vocab", required=True, help="vocab.txt path")
     p.add_argument("--beam", type=int, default=0,
                    help="streaming prefix-beam width (0 = greedy); tokens "
@@ -178,7 +181,8 @@ def main(argv=None):
         raise SystemExit("--lm requires --beam K (greedy streaming cannot "
                          "apply LM fusion)")
 
-    cfg, model, state, _ = load_model_and_params(args.ckpt_dir)
+    cfg, model, state, _ = load_model_and_params(args.ckpt_dir,
+                                               args.average_last)
     vocab = Vocab.load(args.vocab)
     if len(vocab) != cfg.model.vocab_size:
         raise SystemExit(

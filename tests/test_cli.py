@@ -337,6 +337,19 @@ def test_cli_streaming(tmp_path, capsys):
     joined = "".join(p.split("] ", 1)[1] for p in partials)
     assert joined == offline[wavs[0]]
 
+    # (b2) evaluate --streaming: conv-only streaming == offline, so the
+    # streaming CER must equal the offline greedy CER exactly
+    from chainer_speech_recognition_tpu.cli import evaluate as evaluate_cli
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out])
+    cer_off = [l for l in capsys.readouterr().out.splitlines()
+               if l.startswith("CER")][0].split()[1]
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--streaming", "--stream-chunk", "16",
+                       "--stream-right", "8", "--stream-batch", "4"])
+    stream_line = [l for l in capsys.readouterr().out.splitlines()
+                   if l.startswith("CER[streaming]")][0]
+    assert stream_line.split()[1] == cer_off, (stream_line, cer_off)
+
     # (c) streaming beam through the CLI == offline beam decode exactly
     decode_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab,
                      "--beam", "4", *wavs])
@@ -367,3 +380,45 @@ def test_cli_streaming(tmp_path, capsys):
                     "train.checkpoint_every=2"])
     with pytest.raises(ValueError, match="causal"):
         stream_cli.main(["--ckpt-dir", ckpt2, "--vocab", vocab, wavs[0]])
+
+
+@pytest.mark.slow
+def test_evaluate_average_last(tmp_path, capsys):
+    """--average-last N: parameters of the last N kept checkpoints are
+    averaged at load time — the CER line prints, the reported path names
+    the averaged checkpoints, and asking for more checkpoints than kept
+    fails loudly."""
+    from chainer_speech_recognition_tpu.cli import evaluate as evaluate_cli
+    from chainer_speech_recognition_tpu.cli import preprocess as preprocess_cli
+    from chainer_speech_recognition_tpu.cli import train as train_cli
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "prep")
+    ckpt = str(tmp_path / "ckpts")
+    _make_corpus(corpus, n=24, seed=9)
+    preprocess_cli.main(["--corpus", corpus, "--out", out,
+                         "--dev-fraction", "0.2"])
+    train_cli.main(["--data-dir", out, "--preset", "tiny_conv",
+                    "--ckpt-dir", ckpt,
+                    "--metrics", str(tmp_path / "metrics.jsonl"),
+                    "--set", "model.compute_dtype=float32",
+                    "buckets.boundaries=[64]", "buckets.batch_sizes=[8]",
+                    "buckets.max_label_len=8", "train.total_steps=30",
+                    "train.log_every=30", "train.eval_every=1000",
+                    "train.checkpoint_every=10"])
+    assert len([f for f in os.listdir(ckpt)
+                if f.endswith(".msgpack")]) >= 2
+
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--average-last", "2"])
+    lines = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("checkpoint avg[") for l in lines), lines
+    cer = float([l for l in lines if l.startswith("CER")][0].split()[1])
+    # averaging checkpoints this early in training gives a weak model —
+    # the assertion is that the surface works, not that averaging helps
+    # at step 30 (quality evidence lives in PARITY.md)
+    assert np.isfinite(cer) and cer >= 0.0
+
+    with pytest.raises(SystemExit, match="average-last"):
+        evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                           "--average-last", "99"])
