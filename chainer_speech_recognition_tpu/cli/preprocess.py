@@ -34,8 +34,15 @@ def main(argv=None):
                         "(causal = the streamable mode, decode/streaming.py)")
     p.add_argument("--no-cmvn", action="store_true",
                    help="with --cache-features: skip utterance CMVN")
-    p.add_argument("--unit", default="char", choices=["char", "mora"],
-                   help="label unit segmenter (vocab.py SEGMENTERS)")
+    p.add_argument("--unit", default="char", choices=["char", "mora", "bpe"],
+                   help="label unit segmenter (vocab.py SEGMENTERS); "
+                        "'bpe' LEARNS subword merges from this corpus's "
+                        "transcripts (vocab.py::learn_bpe)")
+    p.add_argument("--bpe-size", type=int, default=512,
+                   help="with --unit bpe: target vocab size incl. "
+                        "<blank>/<unk>")
+    p.add_argument("--bpe-base", default="char", choices=["char", "mora"],
+                   help="with --unit bpe: base inventory merges start from")
     p.add_argument("--vocab", default=None,
                    help="REUSE an existing vocab.txt instead of building "
                         "one from this corpus — required when preparing an "
@@ -104,6 +111,11 @@ def main(argv=None):
     if args.vocab:
         from ..vocab import Vocab
         vocab = Vocab.load(args.vocab)
+    elif args.unit == "bpe":
+        from ..vocab import BLANK_SYMBOL, UNK_SYMBOL, Vocab, learn_bpe
+        units = learn_bpe([u.text for u in utts], args.bpe_size,
+                          unit=args.bpe_base)
+        vocab = Vocab([BLANK_SYMBOL, UNK_SYMBOL] + units)
     else:
         vocab = build_vocab(utts, unit=args.unit)
     vocab.save(os.path.join(args.out, "vocab.txt"))

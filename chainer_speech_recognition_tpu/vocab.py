@@ -48,6 +48,56 @@ def _resolve_segmenter(unit):
     return SEGMENTERS[unit] if isinstance(unit, str) else unit
 
 
+def learn_bpe(texts, vocab_size: int, unit: str = "char") -> list[str]:
+    """Byte-pair-encoding unit learning over transcripts: start from the
+    ``unit`` base inventory (char/mora) and repeatedly merge the most
+    frequent adjacent pair until the vocab (incl. <blank>/<unk>) reaches
+    ``vocab_size`` or no pair repeats. Returns the sorted unit list for
+    ``Vocab`` — subword units shorten CTC label sequences (fewer symbols
+    per utterance → easier alignments, shorter LM contexts).
+
+    Segmentation at ENCODE time is ``Vocab.encode``'s greedy
+    longest-match, not canonical merge-order BPE — deterministic,
+    metadata-free (a saved vocab file fully defines the codec), and
+    self-consistent between training labels and eval references, which is
+    all CTC requires of a unit inventory. Ties in pair frequency break
+    lexicographically so learned vocabs are reproducible.
+    """
+    seg = _resolve_segmenter(unit)
+    seqs = [seg(t) for t in texts if t]
+    base = sorted({u for s in seqs for u in s})
+    n_special = 2                        # <blank> + <unk>
+    symbols = set(base)
+    merges: list[str] = []
+    while len(symbols) + n_special < vocab_size:
+        pairs: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        # most frequent pair whose merge is a NEW symbol (mora bases can
+        # collide with concatenations); lexicographic tie-break
+        cand = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        pick = next(((p, c) for p, c in cand
+                     if c >= 2 and p[0] + p[1] not in symbols), None)
+        if pick is None:
+            break
+        (a, b), _ = pick
+        new = a + b
+        merges.append(new)
+        symbols.add(new)
+        for idx, s in enumerate(seqs):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[idx] = out
+    return sorted(symbols)
+
+
 class Vocab:
     def __init__(self, symbols: list[str]):
         if not symbols or symbols[0] != BLANK_SYMBOL:

@@ -422,3 +422,43 @@ def test_evaluate_average_last(tmp_path, capsys):
     with pytest.raises(SystemExit, match="average-last"):
         evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
                            "--average-last", "99"])
+
+
+@pytest.mark.slow
+def test_cli_bpe_units(tmp_path, capsys):
+    """--unit bpe end to end: preprocess learns subword merges from the
+    corpus transcripts, the vocab file round-trips multi-char units with
+    no metadata, and train/evaluate run on the shortened labels."""
+    from chainer_speech_recognition_tpu.cli import evaluate as evaluate_cli
+    from chainer_speech_recognition_tpu.cli import preprocess as preprocess_cli
+    from chainer_speech_recognition_tpu.cli import train as train_cli
+    from chainer_speech_recognition_tpu.vocab import Vocab
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "prep")
+    ckpt = str(tmp_path / "ckpts")
+    _make_corpus(corpus, n=24, seed=21)
+
+    preprocess_cli.main(["--corpus", corpus, "--out", out,
+                         "--dev-fraction", "0.2", "--unit", "bpe",
+                         "--bpe-size", "12"])
+    vocab = Vocab.load(os.path.join(out, "vocab.txt"))
+    assert len(vocab) <= 12
+    assert any(len(s) > 1 for s in vocab.symbols[2:]), vocab.symbols
+    # the learned units reconstruct every transcript exactly
+    for i in range(24):
+        t = open(os.path.join(corpus, f"utt{i:03d}.txt")).read()
+        assert vocab.decode(vocab.encode(t)) == t
+
+    train_cli.main(["--data-dir", out, "--preset", "tiny_conv",
+                    "--ckpt-dir", ckpt,
+                    "--metrics", str(tmp_path / "metrics.jsonl"),
+                    "--set", "model.compute_dtype=float32",
+                    "buckets.boundaries=[64]", "buckets.batch_sizes=[8]",
+                    "buckets.max_label_len=8", "train.total_steps=20",
+                    "train.log_every=20", "train.eval_every=1000",
+                    "train.checkpoint_every=20"])
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out])
+    cer_line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("CER")][0]
+    assert np.isfinite(float(cer_line.split()[1]))

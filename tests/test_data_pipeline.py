@@ -249,3 +249,40 @@ def test_scan_corpus_skips_unreadable_wav(tmp_path, capsys):
     utts = scan_corpus(root)
     assert [u.utt_id for u in utts] == ["utt000", "utt001", "utt002"]
     assert "zzz_bad" in capsys.readouterr().err
+
+
+def test_learn_bpe_units_and_roundtrip():
+    """BPE unit learning (vocab.py::learn_bpe): the most frequent pair
+    merges first, the target size caps the inventory, learned vocabs
+    segment deterministically via greedy longest-match, and
+    decode(encode(t)) == t with strictly shorter label sequences."""
+    from chainer_speech_recognition_tpu.vocab import (
+        BLANK_SYMBOL, UNK_SYMBOL, Vocab, learn_bpe)
+
+    texts = ["かきかきかきすも", "かきすもすも", "かきかき"] * 5
+    units = learn_bpe(texts, vocab_size=8)
+    # base {か,き,す,も} + merges, capped at 8 - 2 specials = 6 units
+    assert len(units) == 6
+    assert "かき" in units                 # the most frequent pair
+    vocab = Vocab([BLANK_SYMBOL, UNK_SYMBOL] + units)
+    for t in texts:
+        ids = vocab.encode(t)
+        assert vocab.decode(ids) == t
+        assert len(ids) < len(t)          # subwords shorten labels
+    # deterministic re-learn
+    assert learn_bpe(texts, vocab_size=8) == units
+
+    # no repeating pair left -> learning stops early, no infinite loop
+    tiny = learn_bpe(["あい", "うえ"], vocab_size=100)
+    assert tiny == sorted("あいうえ")
+
+
+def test_bpe_respects_mora_base():
+    """BPE over a mora base never splits a mora: きゃ stays one unit and
+    merges as a whole."""
+    from chainer_speech_recognition_tpu.vocab import learn_bpe
+
+    texts = ["きゃくきゃく", "きゃく"] * 4
+    units = learn_bpe(texts, vocab_size=6, unit="mora")
+    assert "きゃ" in units or "きゃく" in units
+    assert "ゃ" not in units              # small kana never standalone
