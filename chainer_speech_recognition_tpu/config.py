@@ -96,6 +96,10 @@ class ModelConfig:
     rnn_type: str = "gru"           # "gru" | "lstm" | "none"
     rnn_layers: int = 3
     rnn_hidden: int = 256
+    rnn_bidirectional: bool = True  # False = forward-only stack: the
+                                    # zero-lookahead ONLINE configuration —
+                                    # streaming equals offline EXACTLY at
+                                    # any chunk size (decode/streaming.py)
     glu_blocks: int = 0             # GLU-gated residual conv blocks after
     glu_channels: int = 256         # subsampling (musyoku-style conv CTC)
     rnn_impl: str = "auto"          # "auto" | "scan" | "pallas" (models/rnn.py)
@@ -276,6 +280,14 @@ def preset_config(name: str) -> Config:
             "model.preset": "bigru",
             "model.rnn_type": "gru",
             "model.rnn_layers": 3,
+        })
+    if name == "uni_gru":          # online config: forward-only GRU stack —
+        return base.override({     # zero-lookahead exact streaming
+            "model.preset": "uni_gru",
+            "model.rnn_type": "gru",
+            "model.rnn_layers": 4,  # one extra layer: recover some of the
+            "model.rnn_bidirectional": False,   # missing right context
+            "features.cmvn_mode": "causal",     # streamable end to end
         })
     if name == "bilstm_deep":      # config 3: deep BiLSTM + CMVN + SpecAugment
         cfg = base.override({

@@ -62,7 +62,8 @@ class AcousticModel(nn.Module):
             for i in range(cfg.rnn_layers):
                 layer = BiRNNLayer(
                     hidden=cfg.rnn_hidden, cell=cfg.rnn_type, dtype=dtype,
-                    remat=cfg.remat_rnn, impl=cfg.rnn_impl, name=f"birnn{i}",
+                    remat=cfg.remat_rnn, impl=cfg.rnn_impl,
+                    bidirectional=cfg.rnn_bidirectional, name=f"birnn{i}",
                 )
                 if stream:
                     x, h = layer(x, lens, h0_fwd=rnn_carries[i],

@@ -66,6 +66,8 @@ class BiRNNLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     impl: str = "auto"                 # "auto" | "scan" | "pallas"
+    bidirectional: bool = True         # False: forward-only — output [B,T,H],
+                                       # the zero-lookahead online stack
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray,
@@ -96,31 +98,40 @@ class BiRNNLayer(nn.Module):
         ngates = {"gru": 3, "lstm": 4}[self.cell]
         step_fn = {"gru": _gru_step, "lstm": _lstm_step}[self.cell]
         carry_dim = H if self.cell == "gru" else 2 * H
+        ndir = 2 if self.bidirectional else 1
         mask = time_mask(T, lengths)                     # [B, T]
 
         # hoisted input projections, one big MXU matmul per direction
         xp_f = nn.Dense(ngates * H, dtype=self.dtype, param_dtype=jnp.float32,
                         name="in_fwd")(x)                # [B, T, G·H]
-        xp_b = nn.Dense(ngates * H, dtype=self.dtype, param_dtype=jnp.float32,
-                        name="in_bwd")(x)
         w_h = self.param("rec", nn.initializers.orthogonal(),
-                         (2, H, ngates * H), jnp.float32)
+                         (ndir, H, ngates * H), jnp.float32)
 
         # stack (fwd, time-reversed bwd) on a direction axis: ONE scan
         xf = jnp.swapaxes(xp_f, 0, 1).astype(jnp.float32)   # [T, B, G·H]
-        xb = jnp.swapaxes(xp_b, 0, 1).astype(jnp.float32)[::-1]
-        xs = jnp.stack([xf, xb], axis=1)                    # [T, 2, B, G·H]
         m_t = jnp.swapaxes(mask, 0, 1)                      # [T, B]
-        ms = jnp.stack([m_t, m_t[::-1]], axis=1)            # [T, 2, B]
+        if self.bidirectional:
+            xp_b = nn.Dense(ngates * H, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="in_bwd")(x)
+            xb = jnp.swapaxes(xp_b, 0, 1).astype(jnp.float32)[::-1]
+            xs = jnp.stack([xf, xb], axis=1)                # [T, 2, B, G·H]
+            ms = jnp.stack([m_t, m_t[::-1]], axis=1)        # [T, 2, B]
+        else:
+            xs = xf[:, None]                                # [T, 1, B, G·H]
+            ms = m_t[:, None]
 
         impl = self.impl
         if impl == "auto":
             # bf16 HBM streams need 16-row tiles; fp32 needs 8
             rows = 16 if jnp.dtype(self.dtype) != jnp.float32 else 8
             impl = ("pallas" if jax.default_backend() == "tpu"
+                    and self.bidirectional
                     and H % 128 == 0 and (2 * B) % rows == 0 else "scan")
         if emit_carry_at is not None:
             impl = "scan"          # streaming needs h0 + mid-window carries
+        if impl == "pallas" and not self.bidirectional:
+            raise ValueError("the Pallas BiRNN kernel is bidirectional; "
+                             "forward-only layers use impl='scan'")
         if impl == "pallas":
             from ..ops.rnn_pallas import _stream_dt, birnn_pallas
 
@@ -156,13 +167,16 @@ class BiRNNLayer(nn.Module):
 
         if self.remat:
             step = jax.checkpoint(step)
-        h0 = jnp.zeros((2, B, carry_dim), jnp.float32)
+        h0 = jnp.zeros((ndir, B, carry_dim), jnp.float32)
         if h0_fwd is not None:
             h0 = h0.at[0].set(h0_fwd.astype(jnp.float32))
-        _, ys = jax.lax.scan(step, h0, (xs, ms))   # ys: [T, 2, B, H or carry]
+        _, ys = jax.lax.scan(step, h0, (xs, ms))  # ys: [T, ndir, B, H|carry]
         fwd = jnp.swapaxes(ys[:, 0, :, :H], 0, 1)           # [B, T, H]
-        bwd = jnp.swapaxes(ys[::-1, 1, :, :H], 0, 1)
-        out = jnp.concatenate([fwd, bwd], axis=-1)
+        if self.bidirectional:
+            bwd = jnp.swapaxes(ys[::-1, 1, :, :H], 0, 1)
+            out = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            out = fwd
         out = out * mask[:, :, None].astype(out.dtype)
         if not stream:
             return out

@@ -82,3 +82,39 @@ def test_remat_matches():
     logits2, _ = jax.jit(m2.apply)(params, x, lens)
     np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
                                atol=1e-5)
+
+
+def test_unidirectional_shapes_and_causality():
+    """rnn_bidirectional=False: forward-only stack — output shapes hold,
+    the padding-invariance contract holds, and the model is CAUSAL apart
+    from the conv stack's finite lookahead: changing inputs after frame
+    t+margin cannot change the logit at t."""
+    model = _model("uni_gru")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 64, 40, 3)), jnp.float32)
+    lens = jnp.asarray([64, 64])
+    params, apply = _init_apply(model, x, lens)
+    logits, olens = apply(params, x, lens)
+    assert logits.shape == (2, 16, 10)
+
+    # causality: perturb the tail only; early outputs must be identical
+    margin = model.conv_receptive_margin()            # input frames
+    x2 = np.array(x)                                  # writable copy
+    x2[:, 40:] += 1.0
+    logits2, _ = apply(params, jnp.asarray(x2), lens)
+    s = model.subsample_factor()
+    safe = (40 - margin) // s
+    np.testing.assert_array_equal(np.asarray(logits)[:, :safe],
+                                  np.asarray(logits2)[:, :safe])
+    # ...and the tail DID change (the test has teeth)
+    assert not np.allclose(np.asarray(logits)[:, -1],
+                           np.asarray(logits2)[:, -1])
+
+
+def test_unidirectional_pallas_refused():
+    import pytest as _pytest
+
+    model = _model("uni_gru", rnn_impl="pallas")
+    x = jnp.zeros((2, 16, 40, 3), jnp.float32)
+    with _pytest.raises(ValueError, match="bidirectional"):
+        jax.jit(model.init)(jax.random.key(0), x, jnp.asarray([16, 16]))

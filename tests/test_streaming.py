@@ -339,3 +339,48 @@ def test_long_form_buffer_trim_invariance():
     assert buf._base == 0
     buf.flush(num_samples=[n])
     assert rec.emitted == buf.emitted
+
+
+def test_unidirectional_zero_lookahead_exact():
+    """Forward-only model (uni_gru preset): streaming with ZERO lookahead
+    equals offline exactly at any chunk size — no backward direction, so
+    the only context needed is the conv margin the window already
+    carries. The zero-latency online configuration."""
+    cfg, model, params = _setup("uni_gru", seed=30, rnn_hidden=16,
+                                rnn_impl="scan")
+    ns = [9600, 7040]
+    pcm = _pcm((2, max(ns)), seed=31)
+    pcm[1, ns[1]:] = 0.0
+
+    rec = StreamingRecognizer(model, params, cfg, batch=2,
+                              chunk_frames=16, right_frames=0)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=ns)
+    assert rec.emitted == _offline_ids(model, cfg, params, pcm, ns)
+
+    # eager single-stream feed, still exact
+    rec1 = StreamingRecognizer(model, params, cfg, batch=1,
+                               chunk_frames=16, right_frames=0)
+    out: list[int] = []
+    for a in range(0, ns[0], 1111):
+        out += rec1.accept(pcm[0, a : a + 1111][None])[0]
+    out += rec1.flush()[0]
+    assert out == _offline_ids(model, cfg, params, pcm[:1, :ns[0]],
+                               [ns[0]])[0]
+
+
+def test_unidirectional_streaming_beam_exact():
+    """Zero-lookahead streaming BEAM on a forward-only model == offline
+    beam: the full online stack (causal front-end, forward RNN carries,
+    chunk-carried beam state) is exact end to end."""
+    cfg, model, params = _setup("uni_gru", seed=32, rnn_hidden=16,
+                                rnn_impl="scan")
+    n = 9600
+    pcm = _pcm((1, n), seed=33)
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=0,
+                              decoder="beam", beam=4)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=[n])
+    assert rec.emitted == _offline_beam_ids(model, cfg, params, pcm, [n],
+                                            beam=4)
