@@ -384,3 +384,39 @@ def test_unidirectional_streaming_beam_exact():
     rec.flush(num_samples=[n])
     assert rec.emitted == _offline_beam_ids(model, cfg, params, pcm, [n],
                                             beam=4)
+
+
+@pytest.mark.slow
+def test_streaming_fuzz_differential():
+    """Randomized differential campaign: random conv-only models ×
+    random chunk geometries × ragged random streams — chunked streaming
+    (greedy AND beam) must equal offline bit-exactly in every trial.
+    Catches window-geometry edge cases (margins, reflections, final
+    partial chunks) that hand-picked shapes miss."""
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        seed = int(rng.integers(0, 1000))
+        cfg, model, params = _setup("tiny_conv", seed=seed,
+                                    cmvn=bool(trial % 2))
+        chunk = int(rng.integers(8, 48))
+        right = int(rng.integers(0, 24))
+        B = int(rng.integers(1, 4))
+        ns = [int(rng.integers(2000, 14000)) for _ in range(B)]
+        pcm = _pcm((B, max(ns)), seed=seed + 1)
+        for b, nb in enumerate(ns):
+            pcm[b, nb:] = 0.0
+
+        rec = StreamingRecognizer(model, params, cfg, batch=B,
+                                  chunk_frames=chunk, right_frames=right)
+        rec.accept(pcm, drain=False)
+        rec.flush(num_samples=ns)
+        off = _offline_ids(model, cfg, params, pcm, ns)
+        assert rec.emitted == off, (trial, seed, chunk, right, ns)
+
+        recb = StreamingRecognizer(model, params, cfg, batch=B,
+                                   chunk_frames=chunk, right_frames=right,
+                                   decoder="beam", beam=4)
+        recb.accept(pcm, drain=False)
+        recb.flush(num_samples=ns)
+        offb = _offline_beam_ids(model, cfg, params, pcm, ns, beam=4)
+        assert recb.emitted == offb, (trial, seed, chunk, right, ns)
