@@ -125,32 +125,42 @@ class BiRNNLayer(nn.Module):
             # bf16 HBM streams need 16-row tiles; fp32 needs 8
             rows = 16 if jnp.dtype(self.dtype) != jnp.float32 else 8
             impl = ("pallas" if jax.default_backend() == "tpu"
-                    and self.bidirectional
-                    and H % 128 == 0 and (2 * B) % rows == 0 else "scan")
+                    and H % 128 == 0 and (ndir * B) % rows == 0 else "scan")
         if emit_carry_at is not None:
             impl = "scan"          # streaming needs h0 + mid-window carries
-        if impl == "pallas" and not self.bidirectional:
-            raise ValueError("the Pallas BiRNN kernel is bidirectional; "
-                             "forward-only layers use impl='scan'")
         if impl == "pallas":
             from ..ops.rnn_pallas import _stream_dt, birnn_pallas
 
             lens_f = lengths.astype(jnp.float32)
-            lo = jnp.concatenate([jnp.zeros((B,), jnp.float32),
-                                  T - lens_f], axis=0)[:, None]   # [2B, 1]
-            hi = jnp.concatenate([lens_f,
-                                  jnp.full((B,), T, jnp.float32)],
-                                 axis=0)[:, None]
+            if self.bidirectional:
+                lo = jnp.concatenate([jnp.zeros((B,), jnp.float32),
+                                      T - lens_f], axis=0)[:, None]  # [2B,1]
+                hi = jnp.concatenate([lens_f,
+                                      jnp.full((B,), T, jnp.float32)],
+                                     axis=0)[:, None]
+                w_k = w_h
+            else:
+                # the kernel is direction-agnostic per row (rows [0:R/2]
+                # use w[0], [R/2:] w[1], all scanning forward with per-row
+                # [lo,hi) validity) — a forward-only layer reuses it by
+                # duplicating its one weight matrix; autodiff sums the two
+                # halves' dW back into the single parameter
+                lo = jnp.zeros((B, 1), jnp.float32)
+                hi = lens_f[:, None]
+                w_k = jnp.stack([w_h[0], w_h[0]])
             # xs streams to/from HBM in the kernel's storage dtype (bf16
             # under bf16 compute — the Dense outputs were bf16 anyway, so
             # this halves the stream without changing any value)
             sdt = _stream_dt(jnp.dtype(self.dtype))
-            ys = birnn_pallas(xs.reshape(T, 2 * B, ngates * H).astype(sdt),
-                              w_h, lo, hi, self.cell,
+            ys = birnn_pallas(xs.reshape(T, ndir * B, ngates * H).astype(sdt),
+                              w_k, lo, hi, self.cell,
                               jnp.dtype(self.dtype).name)
             fwd = jnp.swapaxes(ys[:, :B], 0, 1)             # [B, T, H]
-            bwd = jnp.swapaxes(ys[::-1, B:], 0, 1)
-            out = jnp.concatenate([fwd, bwd], axis=-1)
+            if self.bidirectional:
+                bwd = jnp.swapaxes(ys[::-1, B:], 0, 1)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                out = fwd
             return out * mask[:, :, None].astype(out.dtype)
 
         stream = emit_carry_at is not None

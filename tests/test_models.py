@@ -111,10 +111,36 @@ def test_unidirectional_shapes_and_causality():
                            np.asarray(logits2)[:, -1])
 
 
-def test_unidirectional_pallas_refused():
-    import pytest as _pytest
+def test_unidirectional_pallas_matches_scan():
+    """Forward-only layers reuse the bidirectional Pallas kernel with the
+    weight matrix duplicated across the kernel's two row halves — values
+    AND parameter/input gradients must match the scan path (interpret
+    mode on CPU)."""
+    from chainer_speech_recognition_tpu.models.rnn import BiRNNLayer
 
-    model = _model("uni_gru", rnn_impl="pallas")
-    x = jnp.zeros((2, 16, 40, 3), jnp.float32)
-    with _pytest.raises(ValueError, match="bidirectional"):
-        jax.jit(model.init)(jax.random.key(0), x, jnp.asarray([16, 16]))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 11, 12)), jnp.float32)
+    lens = jnp.asarray([11, 7, 4, 1], jnp.int32)
+    for cell in ("gru", "lstm"):
+        scan_l = BiRNNLayer(hidden=8, cell=cell, dtype=jnp.float32,
+                            impl="scan", bidirectional=False)
+        pal_l = BiRNNLayer(hidden=8, cell=cell, dtype=jnp.float32,
+                           impl="pallas", bidirectional=False)
+        params = scan_l.init(jax.random.key(2), x, lens)
+
+        def loss(layer, p, xx):
+            y = layer.apply(p, xx, lens)
+            w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape)
+            return jnp.sum(y * w) / y.size
+
+        for layer_a, layer_b in ((scan_l, pal_l),):
+            va, (gpa, gxa) = jax.value_and_grad(
+                lambda p, xx: loss(layer_a, p, xx), argnums=(0, 1))(params, x)
+            vb, (gpb, gxb) = jax.value_and_grad(
+                lambda p, xx: loss(layer_b, p, xx), argnums=(0, 1))(params, x)
+            np.testing.assert_allclose(va, vb, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb),
+                                       atol=1e-5, rtol=1e-5)
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+                gpa, gpb)
