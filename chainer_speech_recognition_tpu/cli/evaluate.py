@@ -39,8 +39,9 @@ def load_model_and_params(ckpt_dir: str, average_last: int = 1):
     path = latest_checkpoint(ckpt_dir)
     if path is None:
         raise SystemExit(f"no checkpoint found in {ckpt_dir}")
-    state = restore_checkpoint(path, state)
-    if average_last > 1:
+    if average_last <= 1:
+        state = restore_checkpoint(path, state)
+    else:
         from ..train.checkpoint import list_checkpoints
 
         names = list_checkpoints(ckpt_dir)[-average_last:]
@@ -48,6 +49,8 @@ def load_model_and_params(ckpt_dir: str, average_last: int = 1):
             raise SystemExit(
                 f"--average-last {average_last}: only {len(names)} "
                 f"checkpoints in {ckpt_dir} (raise train.keep_checkpoints)")
+        # the init_state template alone is what restore needs — do NOT
+        # also restore the latest first (a wasted full deserialize)
         states = [restore_checkpoint(os.path.join(ckpt_dir, n), state)
                   for n in names]
         inv = 1.0 / len(states)
@@ -168,6 +171,7 @@ def main(argv=None):
                                mesh=mesh, axis=cfg.parallel.data_axis)
 
     print(f"checkpoint {path}")
+    stream_rec = None                 # built once across --index sets
     for set_name in set_names:
         utts = load_index(os.path.join(args.data_dir, set_name))
         sampler = BucketSampler(utts, cfg.buckets, seed=0)
@@ -196,17 +200,19 @@ def main(argv=None):
 
             from ..data.corpus import load_signal
             from ..decode.metrics import CERAccumulator
-            from ..decode.streaming import StreamingRecognizer
             from ..utils.wav import read_wav
 
             S = max(1, args.stream_batch)
-            rec = StreamingRecognizer(
-                model, state.params, cfg, batch=S,
-                chunk_frames=args.stream_chunk,
-                right_frames=args.stream_right,
-                decoder="beam" if args.beam > 0 else "greedy",
-                beam=args.beam, lm=lm_dense, lm_alpha=args.lm_alpha,
-                lm_beta=args.lm_beta)
+            if stream_rec is None:     # ONE recognizer (jit closures)
+                from ..decode.streaming import StreamingRecognizer
+                stream_rec = StreamingRecognizer(
+                    model, state.params, cfg, batch=S,
+                    chunk_frames=args.stream_chunk,
+                    right_frames=args.stream_right,
+                    decoder="beam" if args.beam > 0 else "greedy",
+                    beam=args.beam, lm=lm_dense, lm_alpha=args.lm_alpha,
+                    lm_beta=args.lm_beta)
+            rec = stream_rec           # multi-set runs share the compiles
             acc = CERAccumulator()
             sink = [] if hyp_out else None
             # length-sorted lockstep batches (bounded padding waste);

@@ -204,6 +204,15 @@ def main(argv=None):
         lm=lm, lm_alpha=args.lm_alpha, lm_beta=args.lm_beta,
         endpoint_ms=args.endpoint_ms)
 
+    g = rec.geo
+    if g["C"] != args.chunk_frames or g["R"] != args.right_frames:
+        # geometry rounds to the conv subsample factor and enforces a
+        # minimum chunk — say so, or the promised latency reads wrong
+        print(f"note: effective geometry chunk {g['C']} + lookahead "
+              f"{g['R']} frames (~{(g['C'] + g['R']) * 10} ms buffering); "
+              f"requested {args.chunk_frames}+{args.right_frames}",
+              file=sys.stderr)
+
     if args.raw:
         _stream_stdin(args, rec, vocab)
     elif args.partials:

@@ -97,18 +97,10 @@ def _window_logits(model, params, ext, frame_valid, cmvn_carry, rnn_carries,
     """Shared device math of both window variants: PCM window → causal
     features → streaming model apply. Returns (logits, emit_lens,
     new_cmvn_carry, new_rnn_carries)."""
-    from ..frontend.jnp_frontend import (_delta, _tables, cmvn_causal_jnp,
-                                         frame_signal)
+    from ..frontend.jnp_frontend import (_delta, cmvn_causal_jnp,
+                                         logmel_from_extended)
 
-    win_full, mel = _tables()
-    frames = frame_signal(ext, W_lm) * jnp.asarray(win_full)[None, None, :]
-    spec = jnp.fft.rfft(frames, n=C.N_FFT, axis=-1)
-    power = (spec.real.astype(jnp.float32) ** 2
-             + spec.imag.astype(jnp.float32) ** 2)
-    melspec = jnp.einsum("btf,fm->btm", power, jnp.asarray(mel),
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-    logmel = jnp.log(jnp.maximum(melspec, C.LOG_EPS))       # [B, W_lm, M]
+    logmel = logmel_from_extended(ext, W_lm)                # [B, W_lm, M]
 
     tmask = (jnp.arange(W_lm, dtype=jnp.int32)[None, :]
              < frame_valid[:, None])

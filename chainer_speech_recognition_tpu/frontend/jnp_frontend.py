@@ -142,6 +142,26 @@ def _delta(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     return out / denom
 
 
+def logmel_from_extended(ext: jnp.ndarray, t_max: int) -> jnp.ndarray:
+    """Extended signal rows → [B, t_max, n_mels] log-mel. THE shared
+    spectral pipeline (frame → window → rfft power → mel → log) of the
+    offline path below and the streaming window path
+    (decode/streaming.py) — one definition, so the streaming == offline
+    exactness contract cannot drift."""
+    win_full, mel = _tables()
+    frames = frame_signal(ext, t_max) * jnp.asarray(win_full)[None, None, :]
+    spec = jnp.fft.rfft(frames, n=C.N_FFT, axis=-1)
+    power = (spec.real.astype(jnp.float32) ** 2
+             + spec.imag.astype(jnp.float32) ** 2)
+    # HIGHEST precision: the parity gate is fp32-allclose vs the golden
+    # oracle, and default precision may take bf16 fast paths (TPU MXU /
+    # CPU AMX) that cost ~4e-3 relative error in the log-mel output.
+    melspec = jnp.einsum("btf,fm->btm", power, jnp.asarray(mel),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    return jnp.log(jnp.maximum(melspec, C.LOG_EPS))         # [B, T, n_mels]
+
+
 @functools.partial(jax.jit, static_argnames=("apply_cmvn",))
 def batch_features(
     signals: jnp.ndarray,       # [B, N_max] float32 PCM (padded)
@@ -151,24 +171,12 @@ def batch_features(
     """Padded batch of signals → ([B, T_max, n_mels, 3] fp32, [B] frame lens)."""
     B, n_max = signals.shape
     t_max = C.num_frames(n_max)
-    win_full, mel = _tables()
     lengths = num_samples.astype(jnp.int32)
 
     # --- framing (no gather: reflect-extend + static shifted slices) -----
     n_rows = t_max + _K + 1
     ext = extend_signal(signals, lengths, n_rows)
-    frames = frame_signal(ext, t_max) * jnp.asarray(win_full)[None, None, :]
-
-    # --- STFT power → mel → log ------------------------------------------
-    spec = jnp.fft.rfft(frames, n=C.N_FFT, axis=-1)
-    power = (spec.real.astype(jnp.float32) ** 2 + spec.imag.astype(jnp.float32) ** 2)
-    # HIGHEST precision: the parity gate is fp32-allclose vs the golden
-    # oracle, and default precision may take bf16 fast paths (TPU MXU /
-    # CPU AMX) that cost ~4e-3 relative error in the log-mel output.
-    melspec = jnp.einsum("btf,fm->btm", power, jnp.asarray(mel),
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-    logmel = jnp.log(jnp.maximum(melspec, C.LOG_EPS))       # [B, T, n_mels]
+    logmel = logmel_from_extended(ext, t_max)
 
     return postprocess_logmel(logmel, lengths, t_max, apply_cmvn)
 

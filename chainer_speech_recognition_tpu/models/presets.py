@@ -112,8 +112,9 @@ class AcousticModel(nn.Module):
         for st in cfg.conv_stride_time:
             rf += (kt - 1) * jump
             jump *= st
-        # GLU blocks run at the subsampled rate; kernel_time=5 each
-        rf += cfg.glu_blocks * 4 * jump
+        # GLU blocks run at the subsampled rate; extent derives from the
+        # module's actual kernel_time so the two cannot drift apart
+        rf += cfg.glu_blocks * (GLUConvBlock.kernel_time - 1) * jump
         return (rf - 1) // 2 + 1
 
 

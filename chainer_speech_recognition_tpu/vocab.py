@@ -63,29 +63,52 @@ def learn_bpe(texts, vocab_size: int, unit: str = "char") -> list[str]:
     all CTC requires of a unit inventory. Ties in pair frequency break
     lexicographically so learned vocabs are reproducible.
     """
+    import warnings
+    from collections import defaultdict
+
     seg = _resolve_segmenter(unit)
     seqs = [seg(t) for t in texts if t]
     base = sorted({u for s in seqs for u in s})
     n_special = 2                        # <blank> + <unk>
+    if len(base) + n_special > vocab_size:
+        warnings.warn(
+            f"BPE base inventory ({len(base)} units + {n_special} specials) "
+            f"already exceeds the requested vocab_size {vocab_size}; no "
+            "merges will be learned and the vocab will be larger than "
+            "asked", stacklevel=2)
     symbols = set(base)
-    merges: list[str] = []
+    # incremental pair bookkeeping: a merge only changes pair counts
+    # INSIDE the sequences that contain it, so only those re-scan —
+    # O(corpus + Σ affected-text) total instead of O(merges × corpus)
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+
+    def account(si, s, sign):
+        for p in zip(s, s[1:]):
+            counts[p] += sign
+            if sign > 0:
+                where[p].add(si)
+
+    for si, s in enumerate(seqs):
+        account(si, s, +1)
+
     while len(symbols) + n_special < vocab_size:
-        pairs: dict[tuple[str, str], int] = {}
-        for s in seqs:
-            for a, b in zip(s, s[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + 1
         # most frequent pair whose merge is a NEW symbol (mora bases can
         # collide with concatenations); lexicographic tie-break
-        cand = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        pick = next(((p, c) for p, c in cand
-                     if c >= 2 and p[0] + p[1] not in symbols), None)
+        pick, best = None, None
+        for p, c in counts.items():
+            if c >= 2 and p[0] + p[1] not in symbols:
+                key = (-c, p)
+                if best is None or key < best:
+                    best, pick = key, p
         if pick is None:
             break
-        (a, b), _ = pick
+        a, b = pick
         new = a + b
-        merges.append(new)
         symbols.add(new)
-        for idx, s in enumerate(seqs):
+        for si in sorted(where[pick]):
+            s = seqs[si]
+            account(si, s, -1)
             out, i = [], 0
             while i < len(s):
                 if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
@@ -94,7 +117,8 @@ def learn_bpe(texts, vocab_size: int, unit: str = "char") -> list[str]:
                 else:
                     out.append(s[i])
                     i += 1
-            seqs[idx] = out
+            seqs[si] = out
+            account(si, out, +1)
     return sorted(symbols)
 
 
