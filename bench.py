@@ -550,11 +550,13 @@ def main(argv=None):
         return (B_lm * n_rep / sdt, h.bytes,
                 V_lm ** 3 * V_lm * 4, build_s)
 
-    def bench_streaming(chunk=64, right=16, S=16, secs=8):
+    def bench_streaming(chunk=64, right=16, S=16, secs=8, decoder="greedy"):
         """Online recognition (decode/streaming.py): S lockstep streams
         fed 1 s PCM blocks through the compiled chunk step; returns the
         steady-state real-time factor (audio-seconds per wall-second,
-        all streams summed) at (chunk+right)*10 ms buffer latency."""
+        all streams summed) at (chunk+right)*10 ms buffer latency.
+        decoder="beam" adds the chunk-carried prefix beam + LM fusion
+        (K=8, dense bigram table) — the online config-4 path."""
         from chainer_speech_recognition_tpu.decode.streaming import (
             StreamingRecognizer)
 
@@ -565,8 +567,13 @@ def main(argv=None):
         ex = jnp.zeros((1, 64, scfg.features.n_mels, 3), jnp.float32)
         sparams = jax.jit(smodel.init)(jax.random.key(0), ex,
                                        jnp.asarray([64], jnp.int32))
+        V = scfg.model.vocab_size
+        kw = (dict(decoder="beam", beam=8,
+                   lm=(np.zeros((V, V), np.float32), 2))
+              if decoder == "beam" else {})
         rec = StreamingRecognizer(smodel, sparams, scfg, batch=S,
-                                  chunk_frames=chunk, right_frames=right)
+                                  chunk_frames=chunk, right_frames=right,
+                                  **kw)
         rng = np.random.default_rng(0)
         n = C.SAMPLE_RATE * secs
         pcm = rng.uniform(-0.5, 0.5, (S, n)).astype(np.float32)
@@ -611,6 +618,8 @@ def main(argv=None):
         extra["lm_hashed_o4_v200_mb"] = round(bh_bytes / 2**20, 1)
         extra["lm_dense_o4_v200_equiv_gb"] = round(bh_dense / 2**30, 2)
         extra["stream_rt_factor_16"] = round(bench_streaming(), 1)
+        extra["stream_beam_lm_rt_factor_16"] = round(
+            bench_streaming(decoder="beam"), 1)
     headline = ups_per_chip
 
     def result_line():
