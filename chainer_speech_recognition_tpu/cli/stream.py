@@ -160,6 +160,11 @@ def main(argv=None):
                    help="wav mode: lockstep streams per compiled step")
     p.add_argument("--partials", action="store_true",
                    help="print incremental hypotheses with stream time")
+    p.add_argument("--timing", action="store_true",
+                   help="print per-window compute-latency percentiles at "
+                        "exit (the serving SLO signal: window wall time = "
+                        "host assembly + device step + result pull; the "
+                        "first window includes XLA compile)")
     p.add_argument("--raw", action="store_true",
                    help="live mode: read 16 kHz mono int16 PCM from stdin")
     p.add_argument("--wav-list", default=None,
@@ -213,6 +218,18 @@ def main(argv=None):
               f"requested {args.chunk_frames}+{args.right_frames}",
               file=sys.stderr)
 
+    def report_timing():
+        wt = sorted(rec.window_times)
+        if not args.timing or len(wt) < 2:
+            return
+        wt = wt[: max(len(wt) - 1, 1)] if len(wt) > 4 else wt  # drop the
+        # compile-heavy max when enough samples exist
+        q = lambda p: wt[min(int(p * len(wt)), len(wt) - 1)] * 1000
+        print(f"window latency ms over {len(rec.window_times)} windows: "
+              f"p50 {q(0.5):.1f} | p95 {q(0.95):.1f} | max "
+              f"{max(rec.window_times) * 1000:.1f} (incl. compile)",
+              file=sys.stderr)
+
     if args.raw:
         _stream_stdin(args, rec, vocab)
     elif args.partials:
@@ -227,6 +244,7 @@ def main(argv=None):
 
         args.wav_lens = [header_len(w) for w in args.wavs]
         _stream_wavs(args, rec, vocab)
+    report_timing()
 
 
 if __name__ == "__main__":

@@ -45,6 +45,7 @@ one step of compute; throughput scales with the lockstep batch.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -234,6 +235,10 @@ class StreamingRecognizer:
         self._first = True
         self._trail = np.zeros((B,), np.int64)   # trailing blank subframes
         self._seg_start = [0] * B        # _out offset of the open segment
+        # wall seconds per processed window (assembly + compute + result
+        # pull) — the serving-latency signal; spans resets deliberately
+        # (an observability log for the recognizer's lifetime)
+        self.window_times: list[float] = getattr(self, "window_times", [])
         self.segments: list[list[tuple[list[int], int]]] = \
             [[] for _ in range(B)]       # (ids, end 10ms-frame) per utt
         self._cmvn = None                # device carry after first window
@@ -337,6 +342,7 @@ class StreamingRecognizer:
                 need = (g0 + W_lm - 1) * C.HOP_LENGTH + _PAD
                 if self._n < need or (self._first and self._n < _PAD + 1):
                     break
+            t_win = time.perf_counter()
             ext = self._assemble(g0, W_lm, lengths if finishing else None)
             if finishing:
                 fv = np.clip(total_frames - g0, 0, W_lm).astype(np.int32)
@@ -365,6 +371,7 @@ class StreamingRecognizer:
                     new[b].extend(kept)
             self._t0 += g["C"]
             self._first = False
+            self.window_times.append(time.perf_counter() - t_win)
             if self._ep_frames is not None:
                 self._endpoint_check(np.asarray(ids), np.asarray(n), new)
             if not finishing:

@@ -321,10 +321,13 @@ def test_cli_streaming(tmp_path, capsys):
 
     # (a) lockstep wav mode, batch 2 over 3 wavs of different lengths
     stream_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab, "--batch", "2",
-                     "--chunk-frames", "16", "--right-frames", "8", *wavs])
+                     "--chunk-frames", "16", "--right-frames", "8",
+                     "--timing", *wavs])
+    captured = capsys.readouterr()
     streamed = {l.split("\t")[0]: l.split("\t", 1)[1]
-                for l in capsys.readouterr().out.splitlines() if "\t" in l}
+                for l in captured.out.splitlines() if "\t" in l}
     assert streamed == offline
+    assert "window latency ms" in captured.err   # --timing SLO line
 
     # (b) --partials: per-wav incremental lines, same final transcript
     stream_cli.main(["--ckpt-dir", ckpt, "--vocab", vocab, "--partials",
