@@ -211,7 +211,9 @@ def main(argv=None):
                     right_frames=args.stream_right,
                     decoder="beam" if args.beam > 0 else "greedy",
                     beam=args.beam, lm=lm_dense, lm_alpha=args.lm_alpha,
-                    lm_beta=args.lm_beta)
+                    lm_beta=args.lm_beta,
+                    mesh=mesh if S % n_dev == 0 else None,
+                    axis=cfg.parallel.data_axis)
             rec = stream_rec           # multi-set runs share the compiles
             acc = CERAccumulator()
             sink = [] if hyp_out else None

@@ -157,7 +157,8 @@ class StreamingRecognizer:
                  chunk_frames: int = 64, right_frames: int = 16,
                  left_margin: int | None = None, decoder: str = "greedy",
                  beam: int = 8, lm=None, lm_alpha: float = 0.5,
-                 lm_beta: float = 1.0, endpoint_ms: float | None = None):
+                 lm_beta: float = 1.0, endpoint_ms: float | None = None,
+                 mesh=None, axis: str = "data"):
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"decoder={decoder!r}: expected greedy|beam")
         self._decoder = decoder
@@ -179,6 +180,22 @@ class StreamingRecognizer:
                              "features.use_cache is incompatible")
         self.model, self.params, self.cfg = model, params, cfg
         self.batch = batch
+        # DP mesh: lockstep streams split over the data axis — inputs are
+        # COMMITTED to a batch-sharded layout and GSPMD partitions the
+        # step jit from there (config 5 extended to online serving); the
+        # chunk-beam stays replicated (cheap relative to the model step)
+        self._shard = None
+        self._replicated = None
+        if mesh is not None and mesh.devices.size > 1 \
+                and batch % mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._shard = lambda nd=0: NamedSharding(
+                mesh, P(*((axis,) + (None,) * nd)))
+            # the chunk beam stays replicated (its [B,K,V] grid is cheap
+            # next to the model step, and its masked-logsumexp reshapes
+            # don't shard cleanly): logits gather back before it
+            self._replicated = NamedSharding(mesh, P())
         g = stream_geometry(model, chunk_frames, right_frames, left_margin)
         self.geo = g
         s = g["s"]
@@ -245,6 +262,9 @@ class StreamingRecognizer:
         self._rnn = [jnp.asarray(h) for h in
                      self.model.init_stream_carries(B)]
         self._prev = jnp.full((B,), BLANK_ID, jnp.int32)
+        if self._shard is not None:      # commit carries to the mesh
+            self._rnn = [jax.device_put(h, self._shard(1)) for h in self._rnn]
+            self._prev = jax.device_put(self._prev, self._shard(0))
         self._out: list[list[int]] = [[] for _ in range(B)]
         self._emitted_upto = [0] * B     # consumed ids per stream
         self._finished = False
@@ -344,6 +364,12 @@ class StreamingRecognizer:
                     break
             t_win = time.perf_counter()
             ext = self._assemble(g0, W_lm, lengths if finishing else None)
+            if self._shard is not None:
+                ext = jax.device_put(ext, self._shard(1))
+                fv_put = lambda v: jax.device_put(
+                    np.asarray(v, np.int32), self._shard(0))
+            else:
+                fv_put = lambda v: jnp.asarray(v)
             if finishing:
                 fv = np.clip(total_frames - g0, 0, W_lm).astype(np.int32)
             else:
@@ -351,16 +377,19 @@ class StreamingRecognizer:
             step = self._step_first if self._first else self._step_mid
             if self._decoder == "beam":
                 logits_c, ids, n, (cmvn, rnn, prev) = step(
-                    self.params, jnp.asarray(ext), jnp.asarray(fv),
+                    self.params, jnp.asarray(ext), fv_put(fv),
                     self._cmvn, self._rnn, self._prev)
                 self._cmvn, self._rnn, self._prev = cmvn, rnn, prev
+                if self._replicated is not None:
+                    logits_c = jax.device_put(logits_c, self._replicated)
+                    n = jax.device_put(n, self._replicated)
                 # tokens finalize when every live beam agrees on them
                 for b, kept in enumerate(self._beamdec.step(logits_c, n)):
                     self._out[b].extend(kept)
                     new[b].extend(kept)
             else:
                 ids, keep, n, (cmvn, rnn, prev) = step(
-                    self.params, jnp.asarray(ext), jnp.asarray(fv),
+                    self.params, jnp.asarray(ext), fv_put(fv),
                     self._cmvn, self._rnn, self._prev)
                 self._cmvn, self._rnn, self._prev = cmvn, rnn, prev
                 ids = np.asarray(ids)

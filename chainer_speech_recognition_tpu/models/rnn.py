@@ -179,7 +179,11 @@ class BiRNNLayer(nn.Module):
             step = jax.checkpoint(step)
         h0 = jnp.zeros((ndir, B, carry_dim), jnp.float32)
         if h0_fwd is not None:
-            h0 = h0.at[0].set(h0_fwd.astype(jnp.float32))
+            # broadcast select instead of .at[0].set: a scatter of a
+            # batch-sharded update into an unsharded operand is ambiguous
+            # under GSPMD (sharded streaming, decode/streaming.py)
+            d_iota = jnp.arange(ndir, dtype=jnp.int32)[:, None, None]
+            h0 = jnp.where(d_iota == 0, h0_fwd.astype(jnp.float32)[None], h0)
         _, ys = jax.lax.scan(step, h0, (xs, ms))  # ys: [T, ndir, B, H|carry]
         fwd = jnp.swapaxes(ys[:, 0, :, :H], 0, 1)           # [B, T, H]
         if self.bidirectional:

@@ -133,3 +133,44 @@ def test_sharded_beam_matches_single_device():
                               alpha=a, beta=b, mesh=mesh)
         assert [[int(x) for x in h] for h in sharded] == \
                [[int(x) for x in h] for h in single]
+
+
+@pytest.mark.slow
+def test_sharded_streaming_matches_single_device():
+    """Streaming with a DP mesh: lockstep streams committed batch-sharded
+    over the 8 fake devices (GSPMD partitions the chunk step) must emit
+    exactly the single-device transcription — greedy and beam."""
+    from chainer_speech_recognition_tpu.config import preset_config
+    from chainer_speech_recognition_tpu.decode.streaming import (
+        StreamingRecognizer)
+    from chainer_speech_recognition_tpu.models.presets import build_model
+    from chainer_speech_recognition_tpu.parallel.mesh import make_mesh
+
+    cfg = preset_config("bigru").override({
+        "features.cmvn_mode": "causal", "model.vocab_size": 8,
+        "model.compute_dtype": "float32", "model.rnn_layers": 2,
+        "model.rnn_hidden": 16, "model.rnn_impl": "scan"})
+    model = build_model(cfg.model)
+    x = jnp.zeros((1, 32, 40, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), x, jnp.asarray([32]))
+    mesh = make_mesh(cfg.parallel)
+    assert mesh.devices.size == 8
+
+    B = 8
+    rng = np.random.default_rng(0)
+    ns = [int(rng.integers(6000, 12000)) for _ in range(B)]
+    pcm = np.asarray(rng.uniform(-0.5, 0.5, (B, max(ns))), np.float32)
+    for b, nb in enumerate(ns):
+        pcm[b, nb:] = 0.0
+
+    def run(mesh_arg, **kw):
+        rec = StreamingRecognizer(model, params, cfg, batch=B,
+                                  chunk_frames=16, right_frames=8,
+                                  mesh=mesh_arg, **kw)
+        rec.accept(pcm, drain=False)
+        rec.flush(num_samples=ns)
+        return rec.emitted
+
+    assert run(mesh) == run(None)
+    assert run(mesh, decoder="beam", beam=4) == run(None, decoder="beam",
+                                                    beam=4)
