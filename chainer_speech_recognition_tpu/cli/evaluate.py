@@ -168,7 +168,7 @@ def main(argv=None):
             # decode; identical results, B % n guaranteed by eval_batches)
             return beam_decode(logits, olens, beam=args.beam, lm=lm_dense,
                                alpha=args.lm_alpha, beta=args.lm_beta,
-                               mesh=mesh, axis=cfg.parallel.data_axis)
+                               mesh=mesh, axis=cfg.parallel.batch_axes)
 
     print(f"checkpoint {path}")
     stream_rec = None                 # built once across --index sets
@@ -213,7 +213,7 @@ def main(argv=None):
                     beam=args.beam, lm=lm_dense, lm_alpha=args.lm_alpha,
                     lm_beta=args.lm_beta,
                     mesh=mesh if S % n_dev == 0 else None,
-                    axis=cfg.parallel.data_axis)
+                    axis=cfg.parallel.batch_axes)
             rec = stream_rec           # multi-set runs share the compiles
             acc = CERAccumulator()
             sink = [] if hyp_out else None
@@ -275,7 +275,7 @@ def main(argv=None):
                     stream = beam_decode_stream(
                         ((lg, ol) for lg, ol, _, _, _ in stored),
                         beam=args.beam, lm=lm_dense, alpha=ab[0],
-                        beta=ab[1], mesh=mesh, axis=cfg.parallel.data_axis)
+                        beta=ab[1], mesh=mesh, axis=cfg.parallel.batch_axes)
                     for (_, _, refs, n_valid, idxs), hyps in zip(stored,
                                                                  stream):
                         texts = [vocab.decode(h) for h in hyps[:n_valid]]
@@ -303,7 +303,7 @@ def main(argv=None):
                 "greedy": None,
                 f"beam{args.beam}": (lambda lg, ol: beam_decode(
                     lg, ol, beam=args.beam, mesh=mesh,
-                    axis=cfg.parallel.data_axis)),
+                    axis=cfg.parallel.batch_axes)),
             }
             if lm_dense is not None:
                 decoders[f"beam{args.beam}+lm"] = decode_fn

@@ -133,10 +133,30 @@ class OptimConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """DP mesh over TPU chips, gradient all-reduce over ICI (BASELINE.json:11)."""
+    """DP mesh over TPU chips, gradient all-reduce over ICI (BASELINE.json:11).
+
+    ``dcn_slices > 1`` generalizes the 1-D ``(data,)`` mesh to a 2-D
+    ``(dcn, data)`` mesh for multi-slice pods: batch rows shard over BOTH
+    axes (``batch_axes``) and every collective reduces over both, so XLA
+    routes the intra-slice partial reduction over ICI and only the
+    slice-level partials over DCN (ARCHITECTURE.md §2.7). On single-slice
+    hardware (and the CPU test mesh) the 2-D mesh is semantically
+    identical to the 1-D one — equality-tested in tests/test_dcn.py."""
 
     data_axis: str = "data"
     num_devices: int = 0            # 0 = use all visible devices
+    dcn_slices: int = 1             # >1: 2-D (dcn_slices, n/dcn_slices) mesh
+    dcn_axis: str = "dcn"
+
+    @property
+    def batch_axes(self) -> str | tuple[str, str]:
+        """Mesh axes the utterance (batch) dim shards over — the value to
+        pass wherever a sharding/collective axis name is expected
+        (``P(axes)``, ``lax.psum``, ``all_gather``, ``axis_index`` all
+        accept the tuple form)."""
+        if self.dcn_slices > 1:
+            return (self.dcn_axis, self.data_axis)
+        return self.data_axis
 
 
 @dataclass(frozen=True)

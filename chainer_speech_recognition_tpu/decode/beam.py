@@ -108,7 +108,7 @@ def beam_decode_reference(logprobs, length, beam=8, lm: NGramLM | None = None,
 
 def beam_decode(logits, lengths, beam: int = 8, lm=None,
                 alpha: float = 0.5, beta: float = 1.0,
-                max_len: int | None = None, mesh=None, axis: str = "data"):
+                max_len: int | None = None, mesh=None, axis=None):
     """Batched on-device prefix beam. logits [B,T,V], lengths [B].
 
     lm: None, an NGramLM (dense-tensorized automatically), a pre-built
@@ -210,7 +210,7 @@ def _ab_device(alpha: float, beta: float):
 
 
 def _beam_call(logits, lengths, beam, max_len, lm, alpha, beta,
-               mesh=None, axis: str = "data", keep: int | None = None):
+               mesh=None, axis=None, keep: int | None = None):
     """Shared jit dispatch: α/β travel as TRACED fp32 scalars so an
     (alpha, beta) grid sweep — the standard config-4 tuning loop — costs
     ONE compile per (shape, beam, lm_order), not one per grid point
@@ -239,7 +239,10 @@ def _beam_call(logits, lengths, beam, max_len, lm, alpha, beta,
     ab = _ab_device(float(alpha), float(beta))     # cached device scalar pair
     if mesh is not None and mesh.devices.size > 1 \
             and logits.shape[0] % mesh.devices.size == 0:
-        fn = _sharded_beam(mesh, axis, beam, max_len, lm_order, fuse,
+        # axis defaults to ALL mesh axes so a 2-D (dcn, data) multi-slice
+        # mesh splits rows over every chip, not one slice's worth
+        ax = tuple(mesh.axis_names) if axis is None else axis
+        fn = _sharded_beam(mesh, ax, beam, max_len, lm_order, fuse,
                            hashed, probes, keep)
         return fn(jnp.asarray(logits), jnp.asarray(lengths), lm_table,
                   lm_rows, ab)
@@ -545,7 +548,7 @@ def _stack_jit(*xs):
 def beam_decode_stream(batches, beam: int = 8, lm=None,
                        alpha: float = 0.5, beta: float = 1.0,
                        max_len: int | None = None, mesh=None,
-                       axis: str = "data", flush_every: int = 8):
+                       axis=None, flush_every: int = 8):
     """Pipelined beam decode over an iterable of (logits, lengths) pairs
     — the bulk-decode path (dev-set eval, corpus transcription).
 
@@ -594,7 +597,7 @@ def beam_decode_stream(batches, beam: int = 8, lm=None,
 def beam_decode_nbest(logits, lengths, beam: int = 8, lm=None,
                       alpha: float = 0.5, beta: float = 1.0,
                       max_len: int | None = None, mesh=None,
-                      axis: str = "data"):
+                      axis=None):
     """n-best variant: -> (pfx [B,K,max_len], plen [B,K], scores [B,K]).
 
     Takes the same ``mesh`` as ``beam_decode`` so n-best decode also

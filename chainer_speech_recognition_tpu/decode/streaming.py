@@ -158,7 +158,7 @@ class StreamingRecognizer:
                  left_margin: int | None = None, decoder: str = "greedy",
                  beam: int = 8, lm=None, lm_alpha: float = 0.5,
                  lm_beta: float = 1.0, endpoint_ms: float | None = None,
-                 mesh=None, axis: str = "data"):
+                 mesh=None, axis=None):
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"decoder={decoder!r}: expected greedy|beam")
         self._decoder = decoder
@@ -188,6 +188,8 @@ class StreamingRecognizer:
         self._replicated = None
         if mesh is not None and mesh.devices.size > 1 \
                 and batch % mesh.devices.size == 0:
+            if axis is None:           # default: split over ALL mesh axes
+                axis = tuple(mesh.axis_names)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._shard = lambda nd=0: NamedSharding(

@@ -20,25 +20,45 @@ def make_mesh(cfg: ParallelConfig) -> Mesh:
     n = cfg.num_devices or len(devices)
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")
+    if cfg.dcn_slices > 1:
+        # multi-slice: 2-D (dcn, data) mesh. The data axis is the FAST
+        # (minor) axis so jax.make_mesh lays each slice's chips contiguously
+        # — intra-slice collectives ride ICI, only slice partials cross DCN.
+        # On true multi-slice pods the device list already groups by slice
+        # (jax.devices() orders by process/slice), which is exactly the
+        # row-major (dcn, data) factorization built here.
+        if n % cfg.dcn_slices:
+            raise ValueError(
+                f"{n} devices do not split into {cfg.dcn_slices} dcn slices")
+        return jax.make_mesh((cfg.dcn_slices, n // cfg.dcn_slices),
+                             (cfg.dcn_axis, cfg.data_axis),
+                             devices=devices[:n])
     return jax.make_mesh((n,), (cfg.data_axis,), devices=devices[:n])
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+def _axes(mesh: Mesh, axis):
+    """axis=None → shard over ALL mesh axes (1-D ``("data",)`` and 2-D
+    multi-slice ``("dcn", "data")`` meshes both fully split the batch)."""
+    return tuple(mesh.axis_names) if axis is None else axis
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
     """Leading (utterance) axis sharded over the DP mesh."""
-    return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P(_axes(mesh, axis)))
 
 
-def dispatch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+def dispatch_sharding(mesh: Mesh, ndim: int, axis=None) -> NamedSharding:
     """Slot-id sharding for cached dispatches: [B] shards axis 0, [K, B]
     (multi-step) shards axis 1 — K is replicated time, not data."""
-    return NamedSharding(mesh, P(axis) if ndim == 1 else P(None, axis))
+    ax = _axes(mesh, axis)
+    return NamedSharding(mesh, P(ax) if ndim == 1 else P(None, ax))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
+def shard_batch(mesh: Mesh, batch: dict, axis=None) -> dict:
     """Host→device transfer of a padded bucket, sharded along the batch dim."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

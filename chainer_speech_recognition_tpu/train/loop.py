@@ -172,7 +172,7 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
             mesh, loader, sampler,
             budget_bytes=int(cfg.train.device_cache_budget_gb * 1e9
                              * mesh.devices.size),
-            axis=cfg.parallel.data_axis, seed=cfg.train.seed,
+            axis=cfg.parallel.batch_axes, seed=cfg.train.seed,
             features_cfg=(cfg.features if cfg.train.cache_features else None),
             cache_dtype=cfg.train.cache_dtype)
         train_step = make_cached_train_step(model, cfg, mesh, corpus_cache,
@@ -188,7 +188,7 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         t_c = time.perf_counter()
         k_dispatch = max(1, cfg.train.steps_per_dispatch)
         corpus_cache = DeviceCorpusCache(
-            mesh, loader, sampler, axis=cfg.parallel.data_axis,
+            mesh, loader, sampler, axis=cfg.parallel.batch_axes,
             seed=cfg.train.seed,
             features_cfg=(cfg.features if cfg.train.cache_features else None),
             cache_dtype=cfg.train.cache_dtype)
@@ -232,7 +232,7 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
 
         def _beam_fn(lg, ol, _lm=None, _a=0.0, _b=0.0):
             return beam_decode(lg, ol, beam=kb, lm=_lm, alpha=_a, beta=_b,
-                               mesh=mesh, axis=cfg.parallel.data_axis)
+                               mesh=mesh, axis=cfg.parallel.batch_axes)
 
         eval_decoders["beam"] = _beam_fn
         if cfg.train.eval_lm:
@@ -352,7 +352,7 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                 from ..data.device_cache import rotating_dispatches
 
                 sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
-                                       cfg.parallel.data_axis)
+                                       cfg.parallel.batch_axes)
                 pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
                 try:
                     # window w+1 assembles + transfers while w trains (the
@@ -372,7 +372,7 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                 # steady state sends ONLY the slot-id vector per dispatch;
                 # lookahead-1 so its (tiny) transfer overlaps step k's compute
                 sh = dispatch_sharding(mesh, 1 if k_dispatch == 1 else 2,
-                                       cfg.parallel.data_axis)
+                                       cfg.parallel.batch_axes)
                 it = iter(todo)
                 pending = next(it, None)
                 pending_dev = (jax.device_put(pending[1], sh)

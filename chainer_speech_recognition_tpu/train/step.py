@@ -125,7 +125,7 @@ def make_train_step(model, cfg: Config, mesh) -> Callable:
     update runs replicated.
     """
     tx = make_optimizer(cfg.optim)
-    axis = cfg.parallel.data_axis
+    axis = cfg.parallel.batch_axes
     device_step = _make_device_step(model, cfg, tx, axis)
 
     # one compiled shard_map per batch key-set (signals-mode vs cached-
@@ -163,7 +163,7 @@ def make_cached_train_step(model, cfg: Config, mesh, corpus_cache,
     the K steps.
     """
     tx = make_optimizer(cfg.optim)
-    axis = cfg.parallel.data_axis
+    axis = cfg.parallel.batch_axes
     device_step = _make_device_step(model, cfg, tx, axis)
     K = steps_per_dispatch
 
@@ -238,7 +238,7 @@ def make_auto_eval(model, cfg: Config, mesh=None) -> Callable:
         def call(params, batch):
             b = shard_batch(mesh, {k: v for k, v in batch.items()
                                    if k != "bucket_id"},
-                            axis=cfg.parallel.data_axis)
+                            axis=cfg.parallel.batch_axes)
             return step(params, b)
     else:
         step = make_eval_step(model, cfg)
@@ -262,7 +262,7 @@ def make_sharded_eval_step(model, cfg: Config, mesh) -> Callable:
     batches through ``parallel.mesh.shard_batch`` so rows land on their
     device directly.
     """
-    axis = cfg.parallel.data_axis
+    axis = cfg.parallel.batch_axes
 
     def device_eval(params, batch):
         losses, logits, olens = _eval_forward(model, cfg, params, batch)
