@@ -84,8 +84,10 @@ class BiRNNLayer(nn.Module):
         true end). The backward direction always starts fresh at the
         window's right edge — that is the latency-controlled BiRNN
         approximation, exact when the window reaches the utterance end.
-        Streaming uses the scan path (the Pallas kernel assumes zero
-        initial state); parameters are shared between both calls.
+        Streaming rides the Pallas stream kernel on TPU when shapes fit
+        (``ops/rnn_pallas.birnn_pallas_stream``: h0-seeded carry +
+        mid-window carry output) and the scan otherwise; parameters are
+        shared between both calls.
         """
         if (h0_fwd is None) != (emit_carry_at is None):
             raise ValueError("h0_fwd and emit_carry_at must be passed together")
@@ -126,10 +128,9 @@ class BiRNNLayer(nn.Module):
             rows = 16 if jnp.dtype(self.dtype) != jnp.float32 else 8
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and H % 128 == 0 and (ndir * B) % rows == 0 else "scan")
-        if emit_carry_at is not None:
-            impl = "scan"          # streaming needs h0 + mid-window carries
         if impl == "pallas":
-            from ..ops.rnn_pallas import _stream_dt, birnn_pallas
+            from ..ops.rnn_pallas import (_stream_dt, birnn_pallas,
+                                          birnn_pallas_stream)
 
             lens_f = lengths.astype(jnp.float32)
             if self.bidirectional:
@@ -152,16 +153,29 @@ class BiRNNLayer(nn.Module):
             # under bf16 compute — the Dense outputs were bf16 anyway, so
             # this halves the stream without changing any value)
             sdt = _stream_dt(jnp.dtype(self.dtype))
-            ys = birnn_pallas(xs.reshape(T, ndir * B, ngates * H).astype(sdt),
-                              w_k, lo, hi, self.cell,
-                              jnp.dtype(self.dtype).name)
+            xs_k = xs.reshape(T, ndir * B, ngates * H).astype(sdt)
+            carry = None
+            if emit_carry_at is None:
+                ys = birnn_pallas(xs_k, w_k, lo, hi, self.cell,
+                                  jnp.dtype(self.dtype).name)
+            else:
+                # streaming chunk: forward rows seed from the carried
+                # state, backward rows restart at the window's right edge
+                h0_f = h0_fwd.astype(jnp.float32)           # [B, C]
+                h0_rows = (jnp.concatenate(
+                    [h0_f, jnp.zeros_like(h0_f)], axis=0)
+                    if self.bidirectional else h0_f)
+                ys, carry = birnn_pallas_stream(
+                    xs_k, w_k, lo, hi, h0_rows, self.cell,
+                    jnp.dtype(self.dtype).name, emit_carry_at)
             fwd = jnp.swapaxes(ys[:, :B], 0, 1)             # [B, T, H]
             if self.bidirectional:
                 bwd = jnp.swapaxes(ys[::-1, B:], 0, 1)
                 out = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 out = fwd
-            return out * mask[:, :, None].astype(out.dtype)
+            out = out * mask[:, :, None].astype(out.dtype)
+            return out if carry is None else (out, carry[:B])
 
         stream = emit_carry_at is not None
 

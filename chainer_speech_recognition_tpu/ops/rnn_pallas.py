@@ -212,6 +212,103 @@ def _lstm_bwd_kernel(B, H, dtype, gates_ref, w_ref, lo_ref, hi_ref,
 
 
 # ---------------------------------------------------------------------------
+# streaming-inference kernels: initial carry in, mid-window carry out
+# ---------------------------------------------------------------------------
+# Chunked online recognition (decode/streaming.py) carries the forward
+# RNN state across windows. These kernels are the residual-free forward
+# with two extensions: the VMEM carry initializes from h0 (not zero),
+# and a [R, carry] output records the state after ``emit_t`` live steps
+# (the chunk boundary inside the lookahead window) — written while
+# t < emit_t into the SAME output block, so the last write (t = emit_t-1)
+# is what lands in HBM; emit_t == 0 keeps the initialized h0 (matching
+# models/rnn.py's scan-path ``h_carry`` exactly, padding-freeze included).
+
+
+def _gru_stream_kernel(B, H, dtype, emit_t, xs_ref, w_ref, lo_ref, hi_ref,
+                       h0_ref, ys_ref, carry_ref, h_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:, :] = h0_ref[:, :]
+        carry_ref[:, :] = h0_ref[:, :]
+
+    h = h_scr[:, :]
+    xp = xs_ref[0].astype(jnp.float32)
+    hp = _dot2(h, w_ref, B, dtype)
+    _, _, _, h_new = _gru_gates(xp, hp, h, H)
+    h_new = jnp.where(_valid(lo_ref, hi_ref, t), h_new, h)
+    h_scr[:, :] = h_new
+    ys_ref[0] = h_new
+
+    @pl.when(t < emit_t)
+    def _():
+        carry_ref[:, :] = h_new
+
+
+def _lstm_stream_kernel(B, H, dtype, emit_t, xs_ref, w_ref, lo_ref, hi_ref,
+                        h0_ref, ys_ref, carry_ref, hc_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hc_scr[:, :] = h0_ref[:, :]
+        carry_ref[:, :] = h0_ref[:, :]
+
+    h, c = hc_scr[:, :H], hc_scr[:, H:]
+    xp = xs_ref[0].astype(jnp.float32)
+    hp = _dot2(h, w_ref, B, dtype)
+    i, f, o, u = _lstm_gates(xp, hp, H)
+    c_new = f * c + i * u
+    h_new = o * jnp.tanh(c_new)
+    valid = _valid(lo_ref, hi_ref, t)
+    h_new = jnp.where(valid, h_new, h)
+    c_new = jnp.where(valid, c_new, c)
+    hc = jnp.concatenate([h_new, c_new], axis=1)
+    hc_scr[:, :] = hc
+    ys_ref[0] = h_new
+
+    @pl.when(t < emit_t)
+    def _():
+        carry_ref[:, :] = hc
+
+
+def birnn_pallas_stream(xs, w, lo, hi, h0, cell: str, dtype_name: str,
+                        emit_t: int):
+    """Streaming forward: ``(ys [T,R,H] fp32, carry [R, C] fp32)`` where
+    C = H (GRU) / 2H (h‖c, LSTM). ``h0`` [R, C] fp32 seeds the carry
+    (forward rows carry chunk state; backward rows pass zeros — they
+    restart at each window's right edge); ``emit_t`` (static) is the
+    number of live steps after which the carry is recorded. Inference
+    only — nothing differentiates through streaming chunks."""
+    T, R, GH = xs.shape
+    H = w.shape[1]
+    B = R // 2
+    dtype = jnp.dtype(dtype_name)
+    sdt = _stream_dt(dtype)
+    assert xs.dtype == sdt, (
+        f"birnn_pallas_stream: xs must arrive as {sdt} (got {xs.dtype})")
+    C = H if cell == "gru" else 2 * H
+    assert h0.shape == (R, C) and h0.dtype == jnp.float32
+    kern = functools.partial(
+        {"gru": _gru_stream_kernel, "lstm": _lstm_stream_kernel}[cell],
+        B, H, dtype, emit_t)
+    rw = lambda width: pl.BlockSpec((R, width), lambda i, t: (0, 0))
+    ys, carry = pl.pallas_call(
+        kern, grid=(1, T),
+        in_specs=[_specs_tbx(R, GH),
+                  pl.BlockSpec(w.shape, lambda i, t: (0, 0, 0)),
+                  rw(1), rw(1), rw(C)],
+        out_specs=[_specs_tbx(R, H), rw(C)],
+        out_shape=[jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+                   jax.ShapeDtypeStruct((R, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((R, C), jnp.float32)],
+        interpret=_interp(),
+    )(xs, w, lo, hi, h0)
+    return ys, carry
+
+
+# ---------------------------------------------------------------------------
 # pallas_call plumbing + custom VJP
 # ---------------------------------------------------------------------------
 

@@ -98,3 +98,33 @@ def test_pallas_birnn_padding_invariance():
     np.testing.assert_allclose(np.asarray(y1)[1, :7], np.asarray(y2)[1, :7],
                                atol=1e-6)
     assert np.all(np.asarray(y1)[1, 7:] == 0)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+@pytest.mark.parametrize("bidir", [True, False])
+def test_pallas_stream_kernel_matches_scan(cell, bidir):
+    """Streaming chunk call (h0-seeded forward carry + mid-window carry
+    out, ops/rnn_pallas.birnn_pallas_stream) must equal the scan path's
+    (out, h_carry) exactly — including padding-frozen carries and the
+    emit_carry_at=0 degenerate chunk."""
+    x, lens = _data(seed=5, B=4, T=12, D=10)
+    H = 8
+    C = H if cell == "gru" else 2 * H
+    rng = np.random.default_rng(6)
+    h0 = jnp.asarray(rng.standard_normal((4, C)).astype(np.float32)) * 0.3
+    scan_layer = BiRNNLayer(hidden=H, cell=cell, dtype=jnp.float32,
+                            impl="scan", bidirectional=bidir)
+    pal_layer = BiRNNLayer(hidden=H, cell=cell, dtype=jnp.float32,
+                           impl="pallas", bidirectional=bidir)
+    params = scan_layer.init(jax.random.key(5), x, lens)
+    for emit in (0, 1, 7, 12):
+        y_s, c_s = scan_layer.apply(params, x, lens, h0_fwd=h0,
+                                    emit_carry_at=emit)
+        y_p, c_p = pal_layer.apply(params, x, lens, h0_fwd=h0,
+                                   emit_carry_at=emit)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"out emit={emit}")
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"carry emit={emit}")

@@ -420,3 +420,28 @@ def test_streaming_fuzz_differential():
         recb.flush(num_samples=ns)
         offb = _offline_beam_ids(model, cfg, params, pcm, ns, beam=4)
         assert recb.emitted == offb, (trial, seed, chunk, right, ns)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,cell", [("bigru", "gru"),
+                                       ("bilstm_deep", "lstm"),
+                                       ("uni_gru", "gru")])
+def test_streaming_pallas_rnn_matches_scan(name, cell):
+    """Streaming chunks riding the Pallas stream kernels
+    (ops/rnn_pallas.birnn_pallas_stream — h0-seeded carries, mid-window
+    carry out) must transcribe exactly what the scan-path recognizer
+    does, for bidirectional GRU/LSTM and the forward-only preset."""
+    ns = [9600, 7040]
+    pcm = _pcm((2, max(ns)), seed=41)
+    pcm[1, ns[1]:] = 0.0
+
+    outs = {}
+    for impl in ("scan", "pallas"):
+        cfg, model, params = _setup(name, seed=40, rnn_layers=2,
+                                    rnn_hidden=8, rnn_impl=impl)
+        rec = StreamingRecognizer(model, params, cfg, batch=2,
+                                  chunk_frames=16, right_frames=8)
+        rec.accept(pcm, drain=False)
+        rec.flush(num_samples=ns)
+        outs[impl] = rec.emitted
+    assert outs["pallas"] == outs["scan"]
