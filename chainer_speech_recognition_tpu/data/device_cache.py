@@ -142,7 +142,7 @@ class DeviceCorpusCache:
     FE_CHUNK = 32          # rows per device per front-end build step
 
     def __init__(self, mesh: Mesh, loader, sampler: BucketSampler,
-                 axis="data", seed: int = 0,
+                 axis: str | tuple[str, ...] = "data", seed: int = 0,
                  features_cfg=None, cache_dtype: str = "bfloat16"):
         self.n = mesh.devices.size
         self.axis = axis
@@ -274,7 +274,8 @@ class RotatingDeviceCache:
     """
 
     def __init__(self, mesh: Mesh, loader, sampler: BucketSampler,
-                 budget_bytes: int, axis="data", seed: int = 0,
+                 budget_bytes: int,
+                 axis: str | tuple[str, ...] = "data", seed: int = 0,
                  features_cfg=None, cache_dtype: str = "bfloat16"):
         self.n = mesh.devices.size
         self.axis = axis

@@ -241,7 +241,9 @@ def _beam_call(logits, lengths, beam, max_len, lm, alpha, beta,
             and logits.shape[0] % mesh.devices.size == 0:
         # axis defaults to ALL mesh axes so a 2-D (dcn, data) multi-slice
         # mesh splits rows over every chip, not one slice's worth
-        ax = tuple(mesh.axis_names) if axis is None else axis
+        from ..parallel.mesh import mesh_axes
+
+        ax = mesh_axes(mesh, axis)
         fn = _sharded_beam(mesh, ax, beam, max_len, lm_order, fuse,
                            hashed, probes, keep)
         return fn(jnp.asarray(logits), jnp.asarray(lengths), lm_table,

@@ -188,10 +188,21 @@ class StreamingRecognizer:
         self._replicated = None
         if mesh is not None and mesh.devices.size > 1 \
                 and batch % mesh.devices.size == 0:
-            if axis is None:           # default: split over ALL mesh axes
-                axis = tuple(mesh.axis_names)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.mesh import mesh_axes
+
+            axis = mesh_axes(mesh, axis)
+            # mesh-sharded chunks run under a plain GSPMD-partitioned jit
+            # (not shard_map), and GSPMD cannot partition pallas_call —
+            # force the scan RNN path for the chunk model (params are
+            # impl-independent, so the served checkpoint is unchanged)
+            if model.cfg.rnn_impl != "scan":
+                import dataclasses
+
+                model = model.clone(
+                    cfg=dataclasses.replace(model.cfg, rnn_impl="scan"))
+                self.model = model
             self._shard = lambda nd=0: NamedSharding(
                 mesh, P(*((axis,) + (None,) * nd)))
             # the chunk beam stays replicated (its [B,K,V] grid is cheap

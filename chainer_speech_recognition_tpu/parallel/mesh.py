@@ -36,21 +36,22 @@ def make_mesh(cfg: ParallelConfig) -> Mesh:
     return jax.make_mesh((n,), (cfg.data_axis,), devices=devices[:n])
 
 
-def _axes(mesh: Mesh, axis):
+def mesh_axes(mesh: Mesh, axis=None):
     """axis=None → shard over ALL mesh axes (1-D ``("data",)`` and 2-D
-    multi-slice ``("dcn", "data")`` meshes both fully split the batch)."""
+    multi-slice ``("dcn", "data")`` meshes both fully split the batch).
+    THE one place the all-axes default lives — decoders import it too."""
     return tuple(mesh.axis_names) if axis is None else axis
 
 
 def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
     """Leading (utterance) axis sharded over the DP mesh."""
-    return NamedSharding(mesh, P(_axes(mesh, axis)))
+    return NamedSharding(mesh, P(mesh_axes(mesh, axis)))
 
 
 def dispatch_sharding(mesh: Mesh, ndim: int, axis=None) -> NamedSharding:
     """Slot-id sharding for cached dispatches: [B] shards axis 0, [K, B]
     (multi-step) shards axis 1 — K is replicated time, not data."""
-    ax = _axes(mesh, axis)
+    ax = mesh_axes(mesh, axis)
     return NamedSharding(mesh, P(ax) if ndim == 1 else P(None, ax))
 
 

@@ -184,10 +184,13 @@ def test_dcn_beam_and_streaming_match_single_device():
     assert [[int(x) for x in h] for h in sharded] == \
            [[int(x) for x in h] for h in single]
 
+    # rnn_impl="pallas": mesh-sharded chunks run under a GSPMD jit, which
+    # cannot partition pallas_call — StreamingRecognizer must force the
+    # scan chunk model itself (guards the crash found in the r3 review)
     cfg = _dcn_cfg().override({"features.cmvn_mode": "causal",
                                "model.vocab_size": 8,
                                "model.rnn_layers": 1,
-                               "model.rnn_impl": "scan"})
+                               "model.rnn_impl": "pallas"})
     model = build_model(cfg.model)
     x = jnp.zeros((1, 32, 40, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), x, jnp.asarray([32]))
