@@ -83,6 +83,17 @@ def _build_features(mesh, axis, sig_dev, num_dev, features_cfg,
     return fn(sig_dev, num_dev)
 
 
+def _to_int16(host: dict) -> "np.ndarray":
+    """int16 wire view of a loaded batch: packed loaders already carry
+    int16 signals; float (wav) loaders requantize (the source was PCM16,
+    so the round trip is lossless)."""
+    sig = host.get("signals_i16")
+    if sig is None:
+        sig = np.clip(host["signals"] * 32768.0,
+                      -32768, 32767).astype(np.int16)
+    return sig
+
+
 def _pcm_row_bytes(shape) -> int:
     return shape.max_samples * 2 + shape.max_label_len * 4 + 8
 
@@ -140,6 +151,8 @@ class DeviceCorpusCache:
     """
 
     FE_CHUNK = 32          # rows per device per front-end build step
+    PUT_ROWS = 256         # rows per device per cache-build load chunk
+                           # (bounds the host-RAM peak; see __init__)
 
     def __init__(self, mesh: Mesh, loader, sampler: BucketSampler,
                  axis: str | tuple[str, ...] = "data", seed: int = 0,
@@ -162,12 +175,31 @@ class DeviceCorpusCache:
                 np.concatenate([l, np.full(R - len(l), idxs[0],
                                            dtype=idxs.dtype)])
                 for l in local])                        # [n, R]
-            host = loader.load(bid, padded.reshape(-1))
-            sig = host.get("signals_i16")
-            if sig is None:                             # float loader: re-
-                sig = np.clip(host["signals"] * 32768.0,  # quantize (source
-                              -32768, 32767).astype(np.int16)  # was PCM16)
-            num = host["num_samples"].astype(np.int32)
+            # chunked host assembly (review r3): loading the WHOLE bucket
+            # through a float32 wav loader peaks at ~4x the bucket's int16
+            # bytes of host RAM (float signals + the requantize temp);
+            # loading PUT_ROWS rows/device at a time into a preallocated
+            # int16 buffer bounds the float transient to one chunk
+            host: dict | None = None
+            for r0 in range(0, R, self.PUT_ROWS):
+                sel = padded[:, r0 : r0 + self.PUT_ROWS]     # [n, w]
+                part = loader.load(bid, sel.reshape(-1))
+                arrs = {"signals_i16": _to_int16(part),
+                        "num_samples": part["num_samples"].astype(np.int32),
+                        "labels": part["labels"],
+                        "label_lengths": part["label_lengths"]}
+                if host is None:
+                    host = {k: np.empty((self.n * R,) + v.shape[1:], v.dtype)
+                            for k, v in arrs.items()}
+                w = sel.shape[1]
+                for k, v in arrs.items():
+                    # device-major layout: device d owns global rows
+                    # [d*R, (d+1)*R) — exactly what P(axis) shards
+                    view = v.reshape((self.n, w) + v.shape[1:])
+                    for d in range(self.n):
+                        host[k][d * R + r0 : d * R + r0 + w] = view[d]
+            sig = host["signals_i16"]
+            num = host["num_samples"]
             if features_cfg is not None:
                 feats, flens = _build_features(
                     mesh, axis, jax.device_put(sig, sharding),
@@ -410,13 +442,15 @@ class RotatingDeviceCache:
         Safe to call from a background thread (pure NumPy + device_put)."""
         perms = self._epoch_perms(epoch)
         rows = self._window_rows(perms, w)
+        counts = self._window_counts(perms, w)
         buffers = {}
         for bid, mat in rows.items():
+            if int(counts[bid].max()) == 0:
+                # epoch_plan never dispatches this bucket in window w
+                # (all-wrapped rows) — skip its IO + transfer + FE build
+                continue
             host = self.loader.load(bid, mat.reshape(-1))
-            sig = host.get("signals_i16")
-            if sig is None:
-                sig = np.clip(host["signals"] * 32768.0,
-                              -32768, 32767).astype(np.int16)
+            sig = _to_int16(host)
             labels = {
                 "labels": jax.device_put(host["labels"], self.sharding),
                 "label_lengths": jax.device_put(

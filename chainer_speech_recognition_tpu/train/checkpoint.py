@@ -19,7 +19,9 @@ import jax
 from ..config import Config
 from .state import TrainState
 
-_CKPT_RE = re.compile(r"^step_(\d{8})\.msgpack$")
+# 8+ digits: step counts past 1e8 widen the zero-padded field; matching
+# exactly 8 would silently hide them from latest/prune (review r3)
+_CKPT_RE = re.compile(r"^step_(\d{8,})\.msgpack$")
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, config: Config,
@@ -42,6 +44,9 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, config: Config,
         f.write(config.to_json())
     os.replace(tmp, cfg_path)
 
+    if keep < 1:
+        raise ValueError(f"keep={keep}: must retain at least the checkpoint "
+                         "just written ([:-0] would silently disable pruning)")
     for old in list_checkpoints(ckpt_dir)[:-keep]:
         os.remove(os.path.join(ckpt_dir, old))
     return path
@@ -50,7 +55,10 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, config: Config,
 def list_checkpoints(ckpt_dir: str) -> list[str]:
     if not os.path.isdir(ckpt_dir):
         return []
-    return sorted(f for f in os.listdir(ckpt_dir) if _CKPT_RE.match(f))
+    # numeric sort on the step field: lexicographic order breaks once
+    # digit widths mix (9-digit steps vs the 8-digit zero-padded ones)
+    return sorted((f for f in os.listdir(ckpt_dir) if _CKPT_RE.match(f)),
+                  key=lambda f: int(_CKPT_RE.match(f).group(1)))
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

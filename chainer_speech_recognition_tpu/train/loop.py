@@ -124,6 +124,9 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
           profile_dir: str | None = None, loader: BatchLoader | None = None):
     """``loader`` override feeds from alternative sources (e.g.
     data.packed.PackedBatchLoader); defaults to per-WAV BatchLoader."""
+    if cfg.train.keep_checkpoints < 1:
+        # fail HERE, not at the first periodic save a thousand steps in
+        raise ValueError("train.keep_checkpoints must be >= 1")
     model = build_model(cfg.model)
     mesh = make_mesh(cfg.parallel)
     log = MetricsLogger(metrics_path)
@@ -277,13 +280,16 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         except ValueError:
             pass
 
+    tracing = False                 # profiler trace currently open
+
     def timed_step(bucket_id, *args):
         """One train dispatch (k_dispatch optimizer steps); the first hit of
         a bucket logs its compile time (SURVEY.md §7.5), steps 10-15 bracket
         the profiler window (§5.1)."""
-        nonlocal state, step
-        if profile_dir and step <= 10 < step + k_dispatch:
+        nonlocal state, step, tracing
+        if profile_dir and not tracing and step <= 10 < step + k_dispatch:
             jax.profiler.start_trace(profile_dir)
+            tracing = True
         first = bucket_id not in seen_buckets
         t_c = time.perf_counter()
         state, m = train_step(state, *args)
@@ -293,9 +299,13 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                     seconds=round(time.perf_counter() - t_c, 2))
             seen_buckets.add(bucket_id)
         step += k_dispatch
-        if profile_dir and step - k_dispatch < 15 <= step:
+        # gate on the tracing FLAG, not a step-window recheck: a resume
+        # that lands past step 10 never started a trace, so a bare
+        # stop_trace() here would raise and kill the run (review r3)
+        if tracing and 15 <= step:
             _ = float(m["loss"])
             jax.profiler.stop_trace()
+            tracing = False
             log.log("profile", trace_dir=profile_dir, steps="10-14")
         return m
 
@@ -409,7 +419,12 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
                         pending_sharded = shard_batch(
                             mesh, {k: v for k, v in pending.items()
                                    if k != "bucket_id"})
-                    if bookkeep(m, bucket_id, batch["labels"].shape[0]):
+                    # padded remainder rows are zero-weighted (no training
+                    # work) — count only real rows toward utt_per_sec
+                    n_real = (int(batch["sample_weight"].sum())
+                              if "sample_weight" in batch
+                              else batch["labels"].shape[0])
+                    if bookkeep(m, bucket_id, n_real):
                         done = True
                         break
             prior_dispatches += len(batches)
@@ -422,6 +437,9 @@ def train(cfg: Config, train_utts: list[Utterance], vocab: Vocab,
         # dict entry in a dead frame)
         for _s, _h in prev_handlers.items():
             _signal.signal(_s, _h)
+        if tracing:      # run ended inside the 10-14 window: flush the
+            jax.profiler.stop_trace()   # trace instead of leaking it
+            log.log("profile", trace_dir=profile_dir, steps="partial")
     save_checkpoint(cfg.train.checkpoint_dir, state, cfg,
                     keep=cfg.train.keep_checkpoints)
     log.close()

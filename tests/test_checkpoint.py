@@ -118,3 +118,33 @@ def test_resume_on_different_mesh_size(tmp_path):
     for a, b in zip(jax.tree.leaves(s2_2.params), jax.tree.leaves(s2_4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_wide_step_checkpoints_listed_and_pruned(tmp_path):
+    """Steps >= 1e8 widen the zero-padded filename field: listing, latest,
+    and keep-last-N must order them NUMERICALLY, not lexicographically
+    (review r3: an 8-digit-anchored regex silently rolled training back
+    to an older checkpoint)."""
+    cfg, model, state, _ = _setup(tmp_path)
+    d = cfg.train.checkpoint_dir
+    for s in (99_999_999, 100_000_000, 7):
+        save_checkpoint(d, state.replace(step=jnp.asarray(s, jnp.uint32)),
+                        cfg, keep=10)
+    names = list_checkpoints(d)
+    steps = [int(n.split("_")[1].split(".")[0]) for n in names]
+    assert steps == sorted(steps) and len(steps) == 3
+    assert latest_checkpoint(d).endswith("step_100000000.msgpack")
+    # prune keeps the NUMERICALLY newest
+    save_checkpoint(d, state.replace(step=jnp.asarray(7, jnp.uint32)),
+                    cfg, keep=2)
+    kept = [int(n.split("_")[1].split(".")[0])
+            for n in list_checkpoints(d)]
+    assert kept == [99_999_999, 100_000_000]   # numerically newest two
+
+
+def test_keep_zero_rejected(tmp_path):
+    """keep=0 would make the prune slice [:-0] == [] and silently never
+    delete anything — it must fail loudly instead."""
+    cfg, model, state, _ = _setup(tmp_path)
+    with pytest.raises(ValueError, match="keep"):
+        save_checkpoint(cfg.train.checkpoint_dir, state, cfg, keep=0)

@@ -124,10 +124,18 @@ def test_rotating_windows_are_monotone_and_fixed_shape(tmp_path):
     assert ws == sorted(ws), "plan must group windows contiguously"
     b0 = cache.fetch_window(0, 0)
     b1 = cache.fetch_window(0, cache.n_windows - 1)
-    for bid in b0:
+    for bid in set(b0) & set(b1):
         for k in b0[bid]:
             assert b0[bid][k].shape == b1[bid][k].shape, (
                 "window buffers must be shape-stable (no recompiles)")
+    # a bucket absent from a window's buffers must be exactly one the
+    # plan never dispatches there (review r3: fetch_window skips
+    # all-wrapped buckets instead of paying IO+transfer+FE for them)
+    for w, bufs in ((0, b0), (cache.n_windows - 1, b1)):
+        planned = {bid for pw, bid, _ in plan if pw == w}
+        assert planned <= set(bufs), (
+            f"window {w}: plan dispatches {planned - set(bufs)} "
+            "but fetch_window skipped them")
 
 
 @pytest.mark.slow
