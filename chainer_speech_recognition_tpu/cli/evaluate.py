@@ -173,9 +173,30 @@ def main(argv=None):
     print(f"checkpoint {path}")
     stream_rec = None                 # built once across --index sets
     for set_name in set_names:
-        utts = load_index(os.path.join(args.data_dir, set_name))
+        base = os.path.join(args.data_dir, set_name)
+        if set_name.endswith(".pack") or os.path.exists(base + ".pack"):
+            # packed binary eval set (preprocess --pack / synth_corpus):
+            # same wire format the train CLI consumes, so a packed corpus
+            # round-trips train -> evaluate without re-extracting wavs
+            from ..data.packed import PackedBatchLoader, PackedCorpus
+
+            prefix = base[: -len(".pack")] if set_name.endswith(".pack") \
+                else base
+            pv = prefix + ".vocab.txt"
+            if os.path.exists(pv) and Vocab.load(pv).symbols != vocab.symbols:
+                raise SystemExit(
+                    f"{pv} differs from the --data-dir vocab — the pack's "
+                    "label ids would mis-score against this checkpoint; "
+                    "re-pack the eval set with the training vocab")
+            pc = PackedCorpus(prefix)
+            utts = pc.utterances()
+            loader = PackedBatchLoader(pc, cfg.buckets)
+            read_sig = pc.signal            # streaming reads from the mmap
+        else:
+            utts = load_index(base)
+            loader = BatchLoader(utts, vocab, cfg.buckets)
+            read_sig = None                 # streaming reads the wav files
         sampler = BucketSampler(utts, cfg.buckets, seed=0)
-        loader = BatchLoader(utts, vocab, cfg.buckets)
         stem = os.path.splitext(os.path.basename(set_name))[0]
         tag = f"[{stem}] " if len(set_names) > 1 else ""
         hyp_out = args.hyp_out
@@ -225,7 +246,9 @@ def main(argv=None):
             for s0 in range(0, len(order), S):
                 grp = order[s0 : s0 + S]
                 rows = grp + [grp[0]] * (S - len(grp))
-                sigs = [load_signal(utts[i], read_wav) for i in rows]
+                sigs = [(read_sig(i) if read_sig is not None
+                         else load_signal(utts[i], read_wav))
+                        for i in rows]
                 ns = np.asarray([len(x) for x in sigs], np.int64)
                 pcm = np.zeros((S, int(ns.max())), np.float32)
                 for r, x in enumerate(sigs):

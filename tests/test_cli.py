@@ -237,6 +237,14 @@ def test_cli_end_to_end_mora_units(tmp_path, capsys):
     cer_val = float(cer_line.split()[1])
     assert np.isfinite(cer_val) and 0.0 <= cer_val < 1.5, cer_line
 
+    # packed eval set: --index <set>.pack scores straight off the mmap
+    # (the CSJ-scale demo's eval surface — no wav re-extraction)
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--index", "train.pack"])
+    pack_line = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("CER")][0]
+    assert np.isfinite(float(pack_line.split()[1])), pack_line
+
     wav = os.path.join(corpus, "utt000.wav")
     decode_cli.main(["--ckpt-dir", ckpt,
                      "--vocab", os.path.join(out, "vocab.txt"), wav])
