@@ -147,9 +147,16 @@ def main(argv=None):
     # sizes split evenly (VERDICT r1 missing #3); else single-device
     n_dev = len(jax.devices())
     mesh = None
+    # eval is pure data-parallel on THIS host: drop the frozen training
+    # topology entirely (num_devices AND dcn_slices — a 4-slice-trained
+    # checkpoint must still evaluate on a 2-chip host, and batch_axes
+    # must describe the 1-D eval mesh, not the training mesh)
+    cfg = dataclasses.replace(
+        cfg, parallel=dataclasses.replace(
+            cfg.parallel, num_devices=0, dcn_slices=1))
     if n_dev > 1 and all(bs % n_dev == 0 for bs in cfg.buckets.batch_sizes):
         # all VISIBLE devices, regardless of the training-time mesh size
-        mesh = make_mesh(dataclasses.replace(cfg.parallel, num_devices=0))
+        mesh = make_mesh(cfg.parallel)
     raw_eval = make_auto_eval(model, cfg, mesh)
 
     def eval_fn(batch):
@@ -189,6 +196,17 @@ def main(argv=None):
                     "label ids would mis-score against this checkpoint; "
                     "re-pack the eval set with the training vocab")
             pc = PackedCorpus(prefix)
+            if not os.path.exists(pv):
+                # legacy pack without a vocab sidecar (pack_corpus now
+                # always writes one): at least bound-check the label ids
+                # so an out-of-range encoding fails loudly, not as a
+                # garbage loss column
+                lf = pc.labels_flat
+                if lf.size and int(lf.max()) >= len(vocab):
+                    raise SystemExit(
+                        f"{prefix}.pack labels reach id {int(lf.max())} but "
+                        f"the --data-dir vocab has {len(vocab)} symbols — "
+                        "the pack was encoded with a different vocab")
             utts = pc.utterances()
             loader = PackedBatchLoader(pc, cfg.buckets)
             read_sig = pc.signal            # streaming reads from the mmap

@@ -194,10 +194,11 @@ class DeviceCorpusCache:
                 w = sel.shape[1]
                 for k, v in arrs.items():
                     # device-major layout: device d owns global rows
-                    # [d*R, (d+1)*R) — exactly what P(axis) shards
-                    view = v.reshape((self.n, w) + v.shape[1:])
-                    for d in range(self.n):
-                        host[k][d * R + r0 : d * R + r0 + w] = view[d]
+                    # [d*R, (d+1)*R) — exactly what P(axis) shards; one
+                    # strided assignment through a [n, R, ...] view of
+                    # the host buffer places every device's chunk
+                    host[k].reshape((self.n, R) + v.shape[1:])[:, r0:r0 + w] \
+                        = v.reshape((self.n, w) + v.shape[1:])
             sig = host["signals_i16"]
             num = host["num_samples"]
             if features_cfg is not None:

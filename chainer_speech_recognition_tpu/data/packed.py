@@ -66,6 +66,10 @@ def pack_corpus(out_prefix: str, utts: list[Utterance], vocab: Vocab,
         texts=np.asarray([u.text for u in utts]),
         utt_ids=np.asarray([u.utt_id for u in utts]),
         sample_rate=np.int64(C.SAMPLE_RATE))
+    # the encoding vocab travels WITH the pack: labels_flat is meaningless
+    # under any other id assignment, and the evaluate CLI's mismatch guard
+    # can only fire when this sidecar exists
+    vocab.save(out_prefix + ".vocab.txt")
     return pack_path, meta_path
 
 

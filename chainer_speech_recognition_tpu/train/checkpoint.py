@@ -27,6 +27,11 @@ _CKPT_RE = re.compile(r"^step_(\d{8,})\.msgpack$")
 def save_checkpoint(ckpt_dir: str, state: TrainState, config: Config,
                     keep: int = 3) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
+    if keep < 1:
+        # validate BEFORE any I/O: a rejected call must not have already
+        # written a checkpoint and overwritten the frozen config
+        raise ValueError(f"keep={keep}: must retain at least the checkpoint "
+                         "just written ([:-0] would silently disable pruning)")
     state = jax.device_get(state)
     step = int(state.step)
     path = os.path.join(ckpt_dir, f"step_{step:08d}.msgpack")
@@ -44,9 +49,6 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, config: Config,
         f.write(config.to_json())
     os.replace(tmp, cfg_path)
 
-    if keep < 1:
-        raise ValueError(f"keep={keep}: must retain at least the checkpoint "
-                         "just written ([:-0] would silently disable pruning)")
     for old in list_checkpoints(ckpt_dir)[:-keep]:
         os.remove(os.path.join(ckpt_dir, old))
     return path

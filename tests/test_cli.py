@@ -76,6 +76,20 @@ def test_cli_end_to_end(tmp_path, capsys):
     cer_val = float(cer_line.split()[1])
     assert np.isfinite(cer_val) and 0.0 <= cer_val < 1.5, cer_line
 
+    # a multi-slice-trained checkpoint must still evaluate on a host
+    # whose device count is NOT divisible by the frozen dcn_slices —
+    # eval drops the training topology and runs a 1-D mesh (review fix)
+    cfg_path = os.path.join(ckpt, "config.json")
+    frozen = json.loads(open(cfg_path).read())
+    frozen["parallel"]["dcn_slices"] = 3          # 8 fake devices % 3 != 0
+    open(cfg_path, "w").write(json.dumps(frozen))
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out])
+    dcn_line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("CER")][0]
+    assert abs(float(dcn_line.split()[1]) - cer_val) < 1e-9, dcn_line
+    frozen["parallel"]["dcn_slices"] = 1
+    open(cfg_path, "w").write(json.dumps(frozen))
+
     wav = os.path.join(corpus, "utt000.wav")
     decode_cli.main(["--ckpt-dir", ckpt,
                      "--vocab", os.path.join(out, "vocab.txt"), wav])
@@ -244,6 +258,19 @@ def test_cli_end_to_end_mora_units(tmp_path, capsys):
     pack_line = [l for l in capsys.readouterr().out.splitlines()
                  if l.startswith("CER")][0]
     assert np.isfinite(float(pack_line.split()[1])), pack_line
+
+    # pack_corpus writes the encoding vocab as a sidecar, and evaluate's
+    # mismatch guard fails LOUDLY on a pack encoded under a different
+    # vocab (review fix: the guard is only as good as the sidecar)
+    sidecar = os.path.join(out, "train.vocab.txt")
+    assert os.path.exists(sidecar), "pack_corpus must write <prefix>.vocab.txt"
+    lines = open(sidecar, encoding="utf-8").read().splitlines()
+    open(sidecar, "w", encoding="utf-8").write(
+        "\n".join(lines[:2] + lines[:-3:-1]) + "\n")   # reordered subset
+    with pytest.raises(SystemExit, match="differs from the --data-dir"):
+        evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                           "--index", "train.pack"])
+    open(sidecar, "w", encoding="utf-8").write("\n".join(lines) + "\n")
 
     wav = os.path.join(corpus, "utt000.wav")
     decode_cli.main(["--ckpt-dir", ckpt,
