@@ -235,10 +235,9 @@ def main(argv=None):
             print(f"wrote {len(sink)} hypotheses -> {hyp_out}")
 
         if args.streaming:
-            import numpy as np
-
             from ..data.corpus import load_signal
             from ..decode.metrics import CERAccumulator
+            from ..decode.streaming import decode_lockstep
             from ..utils.wav import read_wav
 
             S = max(1, args.stream_batch)
@@ -256,26 +255,15 @@ def main(argv=None):
             rec = stream_rec           # multi-set runs share the compiles
             acc = CERAccumulator()
             sink = [] if hyp_out else None
-            # length-sorted lockstep batches (bounded padding waste);
-            # buffered accept + per-stream true-length flush — the exact
-            # lockstep semantics of StreamingRecognizer
+            # length-sorted lockstep batches via the shared feeder
+            # (decode/streaming.py::decode_lockstep — one copy of the
+            # lockstep-padding semantics, shared with cli/stream.py)
             order = sorted(range(len(utts)),
                            key=lambda i: utts[i].num_samples)
-            for s0 in range(0, len(order), S):
-                grp = order[s0 : s0 + S]
-                rows = grp + [grp[0]] * (S - len(grp))
-                sigs = [(read_sig(i) if read_sig is not None
-                         else load_signal(utts[i], read_wav))
-                        for i in rows]
-                ns = np.asarray([len(x) for x in sigs], np.int64)
-                pcm = np.zeros((S, int(ns.max())), np.float32)
-                for r, x in enumerate(sigs):
-                    pcm[r, : len(x)] = x
-                rec.reset()
-                rec.accept(pcm, drain=False)
-                rec.flush(num_samples=ns)
-                texts = [vocab.decode(rec.emitted[r])
-                         for r in range(len(grp))]
+            read1 = (read_sig if read_sig is not None
+                     else lambda i: load_signal(utts[i], read_wav))
+            for grp, ids in decode_lockstep(rec, order, read1):
+                texts = [vocab.decode(row) for row in ids]
                 acc.add_batch(texts, [utts[i].text for i in grp])
                 if sink is not None:
                     sink.extend(zip(grp, texts))

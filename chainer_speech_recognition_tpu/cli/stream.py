@@ -4,11 +4,12 @@ The reference decodes whole utterances only (SURVEY.md §3.4-3.5); this
 surface serves the latency-controlled streaming recognizer
 (decode/streaming.py) two ways:
 
-* **wav mode** — each wav is fed through the streaming path in
-  ``--block-ms`` pieces (simulated real time); prints the final transcript
-  per wav, or incremental partials with stream timestamps under
-  ``--partials``. ``--batch`` wavs stream in lockstep through one compiled
-  step (the serving configuration).
+* **wav mode** — ``--batch`` wavs stream in lockstep through one compiled
+  step (the serving configuration) and print one final transcript per wav;
+  audio buffers whole per batch (feeding granularity is irrelevant when
+  nothing drains between blocks). Under ``--partials`` each wav streams
+  alone in ``--block-ms`` pieces (simulated real time), printing
+  incremental hypotheses with stream timestamps.
 * **live mode** (``--raw``) — reads 16 kHz mono int16 PCM from stdin and
   prints tokens the moment their chunk finalizes; pipe a microphone
   capture in (``arecord -f S16_LE -r 16000 -c 1 | … --raw``) for true
@@ -27,7 +28,7 @@ import sys
 import numpy as np
 
 from .. import constants as C
-from ..decode.streaming import StreamingRecognizer
+from ..decode.streaming import StreamingRecognizer, decode_lockstep
 from ..utils.runtime import respect_jax_platforms
 from ..utils.wav import read_wav
 from ..vocab import Vocab
@@ -51,29 +52,16 @@ def _print_new_segments(rec, vocab, seen: int, name: str) -> int:
 
 def _stream_wavs(args, rec, vocab):
     """Length-sorted lockstep batches over the wav list (same bounded-
-    memory discipline as cli/decode.py): PCM buffers in block-size pieces
-    and every window is emitted at ``flush`` with per-stream true lengths
-    (the exact-lockstep semantics of StreamingRecognizer.accept)."""
-    blk = max(int(args.block_ms * C.SAMPLE_RATE / 1000), 1)
-    B = rec.batch
+    memory discipline as cli/decode.py), driven by the shared
+    ``decode_lockstep`` batch feeder (one copy of the lockstep-padding
+    semantics, shared with ``evaluate --streaming``)."""
     order = sorted(range(len(args.wavs)),
                    key=lambda i: args.wav_lens[i])
     results: list = [None] * len(args.wavs)
-    for start in range(0, len(order), B):
-        chunk = order[start : start + B]
-        rows = chunk + [chunk[0]] * (B - len(chunk))      # static batch
-        sigs = [read_wav(args.wavs[i]) for i in rows]
-        ns = np.asarray([len(s) for s in sigs], np.int64)
-        n_max = int(ns.max())
-        pcm = np.zeros((B, n_max), np.float32)
-        for r, s in enumerate(sigs):
-            pcm[r, : len(s)] = s
-        rec.reset()
-        for off in range(0, n_max, blk):
-            rec.accept(pcm[:, off : off + blk], drain=False)
-        rec.flush(num_samples=ns)
-        for r, i in enumerate(chunk):
-            results[i] = vocab.decode(rec.emitted[r])
+    for grp, ids in decode_lockstep(rec, order,
+                                    lambda i: read_wav(args.wavs[i])):
+        for i, row in zip(grp, ids):
+            results[i] = vocab.decode(row)
     for path, text in zip(args.wavs, results):
         print(f"{path}\t{text}", flush=True)
 
@@ -151,7 +139,9 @@ def main(argv=None):
                    help="future context per emitted frame (10 ms units); "
                         "latency = (chunk+right) x 10 ms + compute")
     p.add_argument("--block-ms", type=float, default=100.0,
-                   help="PCM feed granularity (simulated real time)")
+                   help="PCM feed granularity for --partials / --raw "
+                        "(simulated real time; batch wav mode buffers "
+                        "whole)")
     p.add_argument("--endpoint-ms", type=float, default=None,
                    help="CTC endpointing: close an utterance after this "
                         "much trailing argmax-blank; finished utterances "
@@ -217,15 +207,25 @@ def main(argv=None):
               f"{g['R']} frames (~{(g['C'] + g['R']) * 10} ms buffering); "
               f"requested {args.chunk_frames}+{args.right_frames}",
               file=sys.stderr)
+    if not g["conv_exact"]:
+        print(f"note: --right-frames {g['R']} is below the conv stack's "
+              f"right receptive reach ({model.conv_right_margin()}): frames "
+              "near each chunk boundary see zero-padded conv context — "
+              "transcripts approximate the offline decode (raise "
+              "--right-frames to restore conv exactness)", file=sys.stderr)
 
     def report_timing():
-        wt = sorted(rec.window_times)
-        if not args.timing or len(wt) < 2:
+        if not args.timing or len(rec.window_times) < 2:
             return
-        wt = wt[: max(len(wt) - 1, 1)] if len(wt) > 4 else wt  # drop the
-        # compile-heavy max when enough samples exist
+        # the recognizer's first TWO windows compile its two step
+        # specializations (_step_first / _step_mid) — drop them
+        # chronologically when enough samples exist, or the p95 reports
+        # XLA compile seconds instead of steady-state window latency
+        wt = rec.window_times[2:] if len(rec.window_times) > 6 \
+            else rec.window_times
+        wt = sorted(wt)
         q = lambda p: wt[min(int(p * len(wt)), len(wt) - 1)] * 1000
-        print(f"window latency ms over {len(rec.window_times)} windows: "
+        print(f"window latency ms over {len(wt)} steady windows: "
               f"p50 {q(0.5):.1f} | p95 {q(0.95):.1f} | max "
               f"{max(rec.window_times) * 1000:.1f} (incl. compile)",
               file=sys.stderr)

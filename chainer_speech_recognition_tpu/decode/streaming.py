@@ -20,7 +20,15 @@ How each model component streams
 * **Conv stack**: finite receptive field — the window carries a left
   margin of ``model.conv_receptive_margin()`` frames (recomputed each
   chunk, discarded after the convs), so interior conv outputs are
-  identical to the full-utterance computation.
+  identical to the full-utterance computation. At the window's RIGHT
+  edge the convs are exact only when ``right_frames`` covers the stack's
+  right receptive reach past the emit region
+  (``model.conv_right_margin()`` — 0 for the plain subsampling stacks,
+  48 for ``glu_conv``'s stride-1 GLU tail): with a smaller lookahead the
+  emitted frames closest to each chunk boundary see zero-padded conv
+  context instead of real future frames — part of the latency/quality
+  trade (like the backward-RNN truncation below), surfaced as
+  ``stream_geometry(...)["conv_exact"]``.
 * **BiRNN stack**: the forward direction is causal and carries its state
   across chunk boundaries EXACTLY (models/rnn.py ``h0_fwd`` /
   ``emit_carry_at``). The backward direction starts fresh at the window's
@@ -58,7 +66,7 @@ _D = 2 * C.DELTA_WINDOW          # logmel margin the Δ/ΔΔ stack needs (4)
 _PAD = C.N_FFT // 2              # centered-STFT half window (256 samples)
 _K = C.N_FFT // C.HOP_LENGTH     # full hop rows per frame (3)
 
-__all__ = ["StreamingRecognizer", "stream_geometry"]
+__all__ = ["StreamingRecognizer", "stream_geometry", "decode_lockstep"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -74,7 +82,14 @@ def stream_geometry(model, chunk_frames: int, right_frames: int,
     * ``La`` left recompute margin (≥ the conv stack's one-sided receptive
       field) — window-edge conv outputs inside it are discarded;
     * first window covers logmel frames ``[0, C+R+D)``; steady-state
-      windows cover ``[t0−La−D, t0+C+R+D)`` where D is the Δ/ΔΔ margin.
+      windows cover ``[t0−La−D, t0+C+R+D)`` where D is the Δ/ΔΔ margin;
+    * ``conv_exact`` — True iff ``R`` covers the conv stack's RIGHT
+      receptive reach past the emit region (``model.conv_right_margin()``
+      — 0 for the plain subsampling stacks, 48 for ``glu_conv``'s GLU
+      tail), i.e. every emitted frame's conv receptive field is real
+      audio; with a smaller lookahead the frames nearest each chunk
+      boundary see zero-padded conv context (callers should surface
+      this to the user).
     """
     s = model.subsample_factor()
     Cf = _round_up(max(chunk_frames, s), s)
@@ -88,8 +103,41 @@ def stream_geometry(model, chunk_frames: int, right_frames: int,
     if Cf < min_c:
         Cf = min_c
     return {"s": s, "C": Cf, "R": Rf, "La": La,
+            "conv_exact": Rf >= model.conv_right_margin(),
             "W_first": Cf + Rf + _D,              # logmel frames, first
             "W_mid": La + _D + Cf + Rf + _D}      # logmel frames, steady
+
+
+def decode_lockstep(rec, order, read_signal):
+    """Drive items through the recognizer in lockstep batches, yielding
+    ``(item_indices, token_id_lists)`` per batch.
+
+    The one shared copy of the lockstep-padding discipline both bulk CLIs
+    (``cli/stream.py`` wav mode, ``cli/evaluate.py --streaming``) follow:
+
+    * ``order`` — item indices, caller-sorted by length (bounded padding
+      waste); ``read_signal(i)`` → float32 PCM for item ``i``;
+    * the static batch's padding rows REUSE the first row's already-read
+      signal (never re-read / re-resample the file);
+    * audio buffers whole via ``accept(drain=False)`` — a single linear
+      copy, no behavioral difference vs. piecewise feeding since nothing
+      drains between calls — then ``flush(num_samples=...)`` emits every
+      window with per-stream true lengths (the exact-lockstep semantics
+      of ``StreamingRecognizer.accept``).
+    """
+    B = rec.batch
+    for s0 in range(0, len(order), B):
+        grp = list(order[s0 : s0 + B])
+        sigs = [np.asarray(read_signal(i), np.float32) for i in grp]
+        sigs += [sigs[0]] * (B - len(grp))            # static batch rows
+        ns = np.asarray([len(x) for x in sigs], np.int64)
+        pcm = np.zeros((B, int(ns.max())), np.float32)
+        for r, x in enumerate(sigs):
+            pcm[r, : len(x)] = x
+        rec.reset()
+        rec.accept(pcm, drain=False)
+        rec.flush(num_samples=ns)
+        yield grp, [rec.emitted[r] for r in range(len(grp))]
 
 
 def _window_logits(model, params, ext, frame_valid, cmvn_carry, rnn_carries,
@@ -336,8 +384,18 @@ class StreamingRecognizer:
             if ns.shape != (self.batch,) or np.any(ns > self._n):
                 raise ValueError("num_samples must be [batch] and <= fed "
                                  f"samples ({self._n})")
+        total = C.num_frames(ns)                       # frames per stream
+        if np.any(total < self._t0):
+            # eager draining (accept(drain=True)) already emitted tokens
+            # from frames [0, _t0) of EVERY stream — a shorter declared
+            # length would silently disown audio those tokens came from.
+            # Unequal true lengths must buffer with drain=False.
+            raise ValueError(
+                f"num_samples declares fewer frames ({int(total.min())}) "
+                f"than already emitted ({self._t0}); streams of different "
+                "true lengths must buffer with accept(..., drain=False) "
+                "before flush(num_samples=...)")
         self._finished = True
-        total = 1 + ns // C.HOP_LENGTH                 # num_frames per stream
         out = self._drain(finishing=True, total_frames=total, lengths=ns)
         if self._beamdec is not None:
             # the drain finalized only the tokens every live beam agreed

@@ -117,6 +117,28 @@ class AcousticModel(nn.Module):
         rf += cfg.glu_blocks * (GLUConvBlock.kernel_time - 1) * jump
         return (rf - 1) // 2 + 1
 
+    def conv_right_margin(self) -> int:
+        """INPUT frames of real future context past a chunk's emit region
+        needed for the emitted conv outputs to equal the full-utterance
+        computation — the streaming ``right_frames`` floor for conv
+        exactness (decode/streaming.py ``stream_geometry``).
+
+        With the stack's explicit ((k−1)//2, k//2) padding, the rightmost
+        input of output ``p`` is ``p·S + O`` where ``O = Σᵢ (kᵢ//2)·Jᵢ``
+        (Jᵢ = input jump at layer i, S = total stride); the last emitted
+        output therefore reaches ``max(0, O − S + 1)`` frames past the
+        emit region. 0 for the plain subsampling stacks (their per-layer
+        reach k//2 < stride), 48 for ``glu_conv`` (6 stride-1 GLU blocks
+        of time-kernel 5 at jump 4)."""
+        cfg = self.cfg
+        kt = cfg.conv_kernel[0]
+        off, jump = 0, 1
+        for st in cfg.conv_stride_time:
+            off += (kt // 2) * jump
+            jump *= st
+        off += cfg.glu_blocks * (GLUConvBlock.kernel_time // 2) * jump
+        return max(0, off - jump + 1)
+
 
 def build_model(cfg: ModelConfig) -> AcousticModel:
     """Registry entry point: every preset is expressed as a ModelConfig."""

@@ -159,6 +159,45 @@ def test_geometry_rounds_to_subsample_factor():
     assert g["La"] >= model.conv_receptive_margin()
 
 
+def test_geometry_conv_exactness_flag():
+    """``conv_exact`` tracks the conv stack's RIGHT receptive reach past
+    the emit region: 0 for the plain subsampling stacks (per-layer reach
+    k//2 < stride, so zero-lookahead streaming is conv-exact), 48 for
+    glu_conv's six stride-1 kernel-5 GLU blocks at jump 4 — below that
+    lookahead, boundary frames see zero-padded conv context (the
+    empirically measured logits error at R=0 is ~0.6 absolute and
+    decays to CMVN fp noise once R >= 48)."""
+    cfg, model, params = _setup("tiny_conv")
+    assert model.conv_right_margin() == 0
+    assert stream_geometry(model, 16, 0)["conv_exact"]
+
+    over = {"features.cmvn_mode": "causal", "features.cmvn": True,
+            "model.vocab_size": 8, "model.compute_dtype": "float32",
+            "model.rnn_type": "none"}
+    gcfg = preset_config("glu_conv").override(over)
+    gmodel = build_model(gcfg.model)
+    assert gmodel.conv_right_margin() == 48
+    assert not stream_geometry(gmodel, 16, 16)["conv_exact"]
+    assert stream_geometry(gmodel, 16, 48)["conv_exact"]
+
+
+def test_flush_shorter_than_drained_rejected():
+    """Eager draining emits tokens from frames [0, t0); a later
+    flush(num_samples) declaring FEWER frames than already emitted must
+    fail loudly instead of silently disowning the audio those tokens
+    came from (unequal true lengths belong on the drain=False path)."""
+    cfg, model, params = _setup("tiny_conv")
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=8)
+    rec.accept(_pcm((1, 48000), seed=5))          # eager: drains windows
+    assert rec._t0 > 10                           # tokens already emitted
+    with pytest.raises(ValueError, match="already emitted"):
+        rec.flush(num_samples=[1600])             # declares ~11 frames
+    # a consistent flush still works after the rejected call
+    out = rec.flush(num_samples=[48000])
+    assert isinstance(out, list) and len(out) == 1
+
+
 def _offline_beam_ids(model, cfg, params, pcm, ns, **kw):
     from chainer_speech_recognition_tpu.decode.beam import beam_decode
     from chainer_speech_recognition_tpu.frontend.jnp_frontend import (
