@@ -190,23 +190,28 @@ def main(argv=None):
             prefix = base[: -len(".pack")] if set_name.endswith(".pack") \
                 else base
             pv = prefix + ".vocab.txt"
-            if os.path.exists(pv) and Vocab.load(pv).symbols != vocab.symbols:
+            has_sidecar = os.path.exists(pv)   # checked ONCE for both guards
+            if has_sidecar and Vocab.load(pv).symbols != vocab.symbols:
                 raise SystemExit(
                     f"{pv} differs from the --data-dir vocab — the pack's "
                     "label ids would mis-score against this checkpoint; "
                     "re-pack the eval set with the training vocab")
             pc = PackedCorpus(prefix)
-            if not os.path.exists(pv):
+            if not has_sidecar:
                 # legacy pack without a vocab sidecar (pack_corpus now
-                # always writes one): at least bound-check the label ids
-                # so an out-of-range encoding fails loudly, not as a
-                # garbage loss column
+                # always writes one): bound-check the label ids so an
+                # out-of-range encoding fails loudly — a REORDERED vocab
+                # of the same size is undetectable here, so say so
                 lf = pc.labels_flat
                 if lf.size and int(lf.max()) >= len(vocab):
                     raise SystemExit(
                         f"{prefix}.pack labels reach id {int(lf.max())} but "
                         f"the --data-dir vocab has {len(vocab)} symbols — "
                         "the pack was encoded with a different vocab")
+                print(f"warning: {prefix}.pack has no .vocab.txt sidecar; "
+                      "cannot verify its label ids were encoded with this "
+                      "vocab (the loss column is wrong if not; CER is "
+                      "unaffected — hypotheses score against stored texts)")
             utts = pc.utterances()
             loader = PackedBatchLoader(pc, cfg.buckets)
             read_sig = pc.signal            # streaming reads from the mmap

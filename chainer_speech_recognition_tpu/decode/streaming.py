@@ -137,7 +137,8 @@ def decode_lockstep(rec, order, read_signal):
         rec.reset()
         rec.accept(pcm, drain=False)
         rec.flush(num_samples=ns)
-        yield grp, [rec.emitted[r] for r in range(len(grp))]
+        em = rec.emitted                # one copy of all streams' outputs
+        yield grp, em[: len(grp)]
 
 
 def _window_logits(model, params, ext, frame_valid, cmvn_carry, rnn_carries,
