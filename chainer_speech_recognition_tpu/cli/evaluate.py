@@ -276,7 +276,11 @@ def main(argv=None):
             print(f"{tag}CER[streaming] {acc.cer:.4f} | {acc.num_utts} utts "
                   f"| {acc.edits} edits / {acc.ref_len} ref chars | "
                   f"chunk {g['C']} + lookahead {g['R']} frames "
-                  f"(~{(g['C'] + g['R']) * 10} ms buffering)")
+                  f"(~{(g['C'] + g['R']) * 10} ms buffering)"
+                  + ("" if g["conv_exact"] else
+                     " | note: lookahead < conv right reach "
+                     f"({model.conv_right_margin()}) — boundary frames see "
+                     "zero-padded conv context"))
             if sink is not None:
                 write_hyps(sink)
             continue
