@@ -181,6 +181,35 @@ def test_geometry_conv_exactness_flag():
     assert stream_geometry(gmodel, 16, 48)["conv_exact"]
 
 
+def test_decode_lockstep_partial_batch_order():
+    """The shared bulk feeder (cli/stream.py wav mode + evaluate
+    --streaming): a final partial batch pads with row 0's signal, reads
+    each unique item exactly once, and yields results keyed by the
+    caller's (length-sorted) order — equal to per-item offline decode."""
+    from chainer_speech_recognition_tpu.decode.streaming import (
+        decode_lockstep)
+
+    cfg, model, params = _setup("tiny_conv")
+    ns = [8000, 6496, 9600]                      # 3 items, batch 2 →
+    sigs = [_pcm((n,), seed=40 + i) for i, n in enumerate(ns)]
+    reads: list[int] = []
+
+    def read_signal(i):
+        reads.append(i)
+        return sigs[i]
+
+    rec = StreamingRecognizer(model, params, cfg, batch=2,
+                              chunk_frames=16, right_frames=8)
+    order = sorted(range(3), key=lambda i: ns[i])
+    got: dict[int, list[int]] = {}
+    for grp, ids in decode_lockstep(rec, order, read_signal):
+        got.update(zip(grp, ids))
+    assert sorted(reads) == [0, 1, 2]            # padding row not re-read
+    for i in range(3):
+        off = _offline_ids(model, cfg, params, sigs[i][None], [ns[i]])[0]
+        assert got[i] == off, f"item {i}"
+
+
 def test_flush_shorter_than_drained_rejected():
     """Eager draining emits tokens from frames [0, t0); a later
     flush(num_samples) declaring FEWER frames than already emitted must
