@@ -617,9 +617,13 @@ def main(argv=None):
         extra["beam_hashed_o4_v200_utt_per_sec"] = round(bh_ups, 1)
         extra["lm_hashed_o4_v200_mb"] = round(bh_bytes / 2**20, 1)
         extra["lm_dense_o4_v200_equiv_gb"] = round(bh_dense / 2**30, 2)
-        extra["stream_rt_factor_16"] = round(bench_streaming(), 1)
-        extra["stream_beam_lm_rt_factor_16"] = round(
-            bench_streaming(decoder="beam"), 1)
+        if cfg.model.attn_blocks == 0:
+            # attention presets are offline-only (global receptive field;
+            # decode/streaming.py refuses them loudly) — skip the online
+            # figures rather than report a different preset's number
+            extra["stream_rt_factor_16"] = round(bench_streaming(), 1)
+            extra["stream_beam_lm_rt_factor_16"] = round(
+                bench_streaming(decoder="beam"), 1)
     headline = ups_per_chip
 
     def result_line():
@@ -659,7 +663,7 @@ def main(argv=None):
             "train_utt_per_sec": round(ups_per_chip, 1),
             "decode_utt_per_sec": round(decode_ups, 1),
             "mfu": round(mfu, 4) if mfu is not None else None}}
-        for pname in ("bigru", "bilstm_deep", "glu_conv"):
+        for pname in ("bigru", "bilstm_deep", "glu_conv", "conformer"):
             if pname == args.preset:
                 continue
             pcfg = preset_config(pname).override({

@@ -102,6 +102,11 @@ class ModelConfig:
                                     # any chunk size (decode/streaming.py)
     glu_blocks: int = 0             # GLU-gated residual conv blocks after
     glu_channels: int = 256         # subsampling (musyoku-style conv CTC)
+    attn_blocks: int = 0            # Conformer-style self-attention blocks
+    attn_dim: int = 256             # after subsampling (models/attention.py
+    attn_heads: int = 4             # — the attention model family; MXU-
+    attn_ff_mult: int = 4           # dominated, no sequential-in-time
+    attn_conv_kernel: int = 15      # recurrence). 0 = no attention stack.
     rnn_impl: str = "auto"          # "auto" | "scan" | "pallas" (models/rnn.py)
     proj_dim: int = 0               # 0 = straight to vocab
     vocab_size: int = 64            # symbols INCLUDING blank (class 0)
@@ -294,6 +299,16 @@ def preset_config(name: str) -> Config:
             "model.rnn_layers": 0,
             "model.glu_blocks": 6,
             "model.glu_channels": 256,
+        })
+    if name == "conformer":        # attention family: conv subsampling +
+        return base.override({     # macaron MHSA/conv blocks (offline;
+            "model.preset": "conformer",   # global receptive field)
+            "model.rnn_type": "none",
+            "model.rnn_layers": 0,
+            "model.attn_blocks": 8,
+            "model.attn_dim": 256,
+            "model.attn_heads": 4,
+            "specaugment.enabled": True,
         })
     if name == "bigru":            # config 2: conv subsampling + 3-layer BiGRU
         return base.override({

@@ -91,6 +91,11 @@ def stream_geometry(model, chunk_frames: int, right_frames: int,
       boundary see zero-padded conv context (callers should surface
       this to the user).
     """
+    if getattr(model.cfg, "attn_blocks", 0):
+        raise ValueError(
+            "attention presets (model.attn_blocks > 0) have a global "
+            "receptive field — chunked streaming cannot reproduce the "
+            "offline computation; serve them with evaluate/decode instead")
     s = model.subsample_factor()
     Cf = _round_up(max(chunk_frames, s), s)
     Rf = _round_up(max(right_frames, 0), s)

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from .attention import ConformerBlock
 from .conv import ConvSubsampler, GLUConvBlock
 from .rnn import BiRNNLayer, time_mask
 
@@ -56,6 +57,23 @@ class AcousticModel(nn.Module):
         if drop_left:
             x = x[:, drop_left:]
             lens = jnp.maximum(lens - drop_left, 0)
+
+        if cfg.attn_blocks:
+            if stream:
+                # full self-attention has a GLOBAL receptive field: a
+                # chunked call cannot reproduce the offline computation,
+                # so streaming refuses loudly instead of silently
+                # degrading (decode/streaming.py guards on this too)
+                raise ValueError(
+                    "attention presets do not support streaming calls")
+            if x.shape[-1] != cfg.attn_dim:
+                x = nn.Dense(cfg.attn_dim, dtype=dtype,
+                             param_dtype=jnp.float32, name="attn_in")(x)
+            for i in range(cfg.attn_blocks):
+                x = ConformerBlock(
+                    heads=cfg.attn_heads, ff_mult=cfg.attn_ff_mult,
+                    conv_kernel=cfg.attn_conv_kernel, dtype=dtype,
+                    name=f"conformer{i}")(x, lens)
 
         new_carries = []
         if cfg.rnn_type != "none":

@@ -55,6 +55,18 @@ def forward_flops_per_utt(cfg: ModelConfig, frames: int,
             total += 2.0 * t * ch * d             # residual projection
         d = ch
 
+    if cfg.attn_blocks:
+        dm = cfg.attn_dim
+        if d != dm:
+            total += 2.0 * t * d * dm             # attn_in projection
+        per_block = 4 * 2.0 * t * dm * dm         # q,k,v,out projections
+        per_block += 2 * 2.0 * t * t * dm         # scores + value einsums
+        per_block += 2 * 2 * 2.0 * t * dm * (cfg.attn_ff_mult * dm)  # 2 FFNs
+        per_block += 2.0 * t * dm * 2 * dm        # conv module pw_in (GLU)
+        per_block += 2.0 * t * dm * dm            # conv module pw_out
+        total += cfg.attn_blocks * per_block      # (depthwise conv ~0)
+        d = dm
+
     if cfg.rnn_type != "none":
         gates = {"gru": 3, "lstm": 4}[cfg.rnn_type]
         h = cfg.rnn_hidden

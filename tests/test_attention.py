@@ -1,0 +1,137 @@
+"""Attention (Conformer-style) model family tests: shapes, exact
+batch-padding invariance (SURVEY.md §7 hard-part 6 applies to every model
+family), RoPE relative-position property, DP equality on the fake-device
+mesh, toy learnability, and the streaming guard (global receptive field
+⇒ streaming must refuse loudly)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chainer_speech_recognition_tpu.config import preset_config
+from chainer_speech_recognition_tpu.decode.greedy import greedy_decode
+from chainer_speech_recognition_tpu.decode.streaming import stream_geometry
+from chainer_speech_recognition_tpu.models.attention import rope
+from chainer_speech_recognition_tpu.models.presets import build_model
+from chainer_speech_recognition_tpu.parallel.mesh import make_mesh, shard_batch
+from chainer_speech_recognition_tpu.train.step import (make_eval_step,
+                                                       make_train_step)
+
+from test_train import _fixed_batch, _init
+
+
+def _cfg(**over):
+    return preset_config("conformer").override({
+        "model.vocab_size": 9, "model.compute_dtype": "float32",
+        "model.attn_blocks": 1, "model.attn_dim": 32, "model.attn_heads": 4,
+        "specaugment.enabled": False,
+        "optim.learning_rate": 3e-3, "optim.warmup_steps": 20,
+        "optim.decay_steps": 400, **over})
+
+
+def _tiny_model(**over):
+    cfg = _cfg().model
+    return build_model(type(cfg)(**{**cfg.__dict__, **over}))
+
+
+def test_conformer_shapes():
+    model = _tiny_model(attn_blocks=2)
+    B, T, F = 2, 37, 40
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T, F, 3)),
+                    jnp.float32)
+    lens = jnp.asarray([37, 16])
+    params = jax.jit(model.init)(jax.random.key(0), x, lens)
+    logits, olens = jax.jit(model.apply)(params, x, lens)
+    assert logits.shape == (B, -(-T // 4), 9)
+    assert list(np.asarray(olens)) == [-(-37 // 4), -(-16 // 4)]
+    assert logits.dtype == jnp.float32
+    assert model.subsample_factor() == 4
+
+
+def test_conformer_padding_invariance():
+    """Valid-frame logits independent of batch padding — attention must
+    mask padded keys exactly, the conv module must not leak through its
+    receptive field, and LayerNorm is per-frame."""
+    model = _tiny_model()
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((3, 37, 40, 3)),
+                    jnp.float32)
+    lens = jnp.asarray([37, 20, 9])
+    params = jax.jit(model.init)(jax.random.key(0), x, lens)
+    apply = jax.jit(model.apply)
+    logits, olens = apply(params, x, lens)
+    logits2, _ = apply(params, x[:, :20], jnp.asarray([20, 20, 9]))
+    o = int(np.asarray(olens)[1])
+    np.testing.assert_allclose(np.asarray(logits)[1, :o],
+                               np.asarray(logits2)[1, :o], atol=1e-5)
+    assert np.all(np.asarray(logits)[2, int(np.asarray(olens)[2]):] == 0)
+
+
+def test_rope_is_relative():
+    """RoPE's defining property: the q·k score between positions t and s
+    depends only on the offset t−s (for fixed content vectors)."""
+    rng = np.random.default_rng(2)
+    qv = rng.standard_normal(8).astype(np.float32)
+    kv = rng.standard_normal(8).astype(np.float32)
+    T = 16
+    q = jnp.asarray(np.tile(qv, (1, T, 1, 1)))      # [1, T, 1, 8]
+    k = jnp.asarray(np.tile(kv, (1, T, 1, 1)))
+    qr, kr = np.asarray(rope(q))[0, :, 0], np.asarray(rope(k))[0, :, 0]
+    scores = qr @ kr.T                               # [T, T]
+    for off in (0, 1, 5):
+        diag = np.diagonal(scores, offset=off)
+        np.testing.assert_allclose(diag, diag[0], rtol=1e-5)
+    # ...and different offsets genuinely differ (the test has teeth)
+    assert abs(np.diagonal(scores, 1)[0] - np.diagonal(scores, 5)[0]) > 1e-3
+
+
+def test_streaming_rejects_attention():
+    model = _tiny_model()
+    with pytest.raises(ValueError, match="global receptive field"):
+        stream_geometry(model, chunk_frames=32, right_frames=0)
+
+
+@pytest.mark.slow
+def test_conformer_dp_equals_single_device():
+    cfg = _cfg()
+    batch = _fixed_batch(np.random.default_rng(3))
+    model, state = _init(cfg, batch)
+    mesh8 = make_mesh(cfg.parallel)
+    mesh1 = make_mesh(type(cfg.parallel)(num_devices=1))
+    step8 = make_train_step(model, cfg, mesh8)
+    step1 = make_train_step(model, cfg, mesh1)
+    state2 = jax.tree.map(jnp.copy, state)
+    s8, m8 = step8(state, shard_batch(mesh8, batch))
+    s1, m1 = step1(state2, shard_batch(mesh1, batch))
+    assert abs(float(m8["loss"]) - float(m1["loss"])) < 1e-5
+    for p8, p1 in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=2e-6)
+
+
+@pytest.mark.slow
+def test_conformer_toy_training_learns():
+    cfg = _cfg()
+    rng = np.random.default_rng(4)
+    batch0 = _fixed_batch(rng)
+    model, state = _init(cfg, batch0)
+    mesh = make_mesh(cfg.parallel)
+    train_step = make_train_step(model, cfg, mesh)
+    losses = []
+    for _ in range(120):
+        b = shard_batch(mesh, _fixed_batch(rng))
+        state, m = train_step(state, b)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+
+    eval_step = make_eval_step(model, cfg)
+    b = _fixed_batch(np.random.default_rng(321))
+    _, logits, olens = eval_step(state.params,
+                                 {k: jnp.asarray(v) for k, v in b.items()})
+    ids, out_lens = greedy_decode(logits, olens, max_len=8)
+    ids, out_lens = np.asarray(ids), np.asarray(out_lens)
+    exact = sum(
+        list(ids[i, : out_lens[i]]) ==
+        list(b["labels"][i][: b["label_lengths"][i]])
+        for i in range(16))
+    assert exact >= 12, f"greedy recovered only {exact}/16"
