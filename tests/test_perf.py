@@ -70,7 +70,8 @@ def _bench_batch(B=64, frames=1024, vocab=64):
             "label_lengths": batch["label_lengths"]}
 
 
-@pytest.mark.parametrize("preset", ["bigru", "bilstm_deep", "glu_conv"])
+@pytest.mark.parametrize("preset", ["bigru", "bilstm_deep", "glu_conv",
+                                    "conformer"])
 def test_preset_train_throughput(preset):
     from chainer_speech_recognition_tpu.config import preset_config
     from chainer_speech_recognition_tpu.frontend.jnp_frontend import (
