@@ -309,6 +309,15 @@ def preset_config(name: str) -> Config:
             "model.attn_dim": 256,
             "model.attn_heads": 4,
             "specaugment.enabled": True,
+            # Attention+CTC needs a gentler optimizer than the RNN presets:
+            # at the base defaults (lr 1e-3, warmup 500, clip 5) the encoder
+            # sits on the all-blank CTC plateau indefinitely (measured: 8+
+            # epochs, CER 0.98); at lr 3e-4 / warmup 1000 / clip 1 it exits
+            # the plateau around epoch 7 and converges (CER 0.04 by epoch 11
+            # on the parity corpus, still improving).
+            "optim.learning_rate": 3e-4,
+            "optim.warmup_steps": 1000,
+            "optim.clip_norm": 1.0,
         })
     if name == "bigru":            # config 2: conv subsampling + 3-layer BiGRU
         return base.override({

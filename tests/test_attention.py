@@ -135,3 +135,13 @@ def test_conformer_toy_training_learns():
         list(b["labels"][i][: b["label_lengths"][i]])
         for i in range(16))
     assert exact >= 12, f"greedy recovered only {exact}/16"
+
+
+def test_conformer_preset_bakes_gentle_optimizer():
+    # The attention family plateaus on all-blank CTC at the base optimizer
+    # defaults (measured: 8+ epochs stuck at CER 0.98 at lr 1e-3 / clip 5);
+    # the preset must carry the recipe that exits the plateau.
+    cfg = preset_config("conformer")
+    assert cfg.optim.learning_rate == 3e-4
+    assert cfg.optim.warmup_steps == 1000
+    assert cfg.optim.clip_norm == 1.0
