@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 
 import jax
@@ -25,12 +26,26 @@ from ..vocab import Vocab
 from ..utils.runtime import respect_jax_platforms
 
 
-def load_model_and_params(ckpt_dir: str, average_last: int = 1):
+def load_model_and_params(ckpt_dir: str, average_last: int = 1,
+                          overrides: dict | None = None):
     """Load the latest checkpoint; ``average_last=N`` instead AVERAGES the
     parameters of the last N checkpoints (classic eval-time checkpoint
     averaging — the kept-N training checkpoints act as a cheap ensemble;
-    optimizer state stays the latest's)."""
+    optimizer state stays the latest's).
+
+    ``overrides`` are dotted config overrides applied on top of the frozen
+    training config — eval-time deployment knobs (bucket shapes, batch
+    sizes, parallel axes). ``model.*`` keys are rejected: the topology must
+    match the checkpoint or restore would mis-map parameters."""
     cfg = load_config(ckpt_dir)
+    if overrides:
+        bad = [k for k in overrides if k.split(".", 1)[0] == "model"]
+        if bad:
+            raise SystemExit(
+                f"--set cannot override model topology ({', '.join(bad)}): "
+                "the checkpoint's parameters were shaped by the frozen "
+                "model config")
+        cfg = cfg.override(overrides)
     model = build_model(cfg.model)
     ex = jnp.zeros((1, cfg.buckets.boundaries[0], cfg.features.n_mels, 3),
                    jnp.float32)
@@ -120,10 +135,22 @@ def main(argv=None):
                         "= (chunk + right) x 10 ms")
     p.add_argument("--stream-batch", type=int, default=16,
                    help="streaming: lockstep streams per compiled step")
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="dotted eval-time config overrides on top of the "
+                        "frozen training config (bucket shapes, parallel "
+                        "axes, ...); model.* is rejected")
     args = p.parse_args(argv)
 
+    overrides = {}
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        try:
+            overrides[key] = json.loads(val)
+        except json.JSONDecodeError:
+            overrides[key] = val
     cfg, model, state, path = load_model_and_params(args.ckpt_dir,
-                                               args.average_last)
+                                               args.average_last,
+                                               overrides=overrides)
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.txt"))
     if len(vocab) != cfg.model.vocab_size:
         raise SystemExit(

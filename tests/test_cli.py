@@ -90,6 +90,18 @@ def test_cli_end_to_end(tmp_path, capsys):
     frozen["parallel"]["dcn_slices"] = 1
     open(cfg_path, "w").write(json.dumps(frozen))
 
+    # eval-time --set overrides: deployment knobs (bucket shapes) apply on
+    # top of the frozen config — same utterances scored, same CER; model
+    # topology overrides are rejected loudly (restore would mis-map params)
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--set", "buckets.batch_sizes=[4]"])
+    set_line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("CER")][0]
+    assert abs(float(set_line.split()[1]) - cer_val) < 1e-9, set_line
+    with pytest.raises(SystemExit, match="model topology"):
+        evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                           "--set", "model.rnn_hidden=512"])
+
     wav = os.path.join(corpus, "utt000.wav")
     decode_cli.main(["--ckpt-dir", ckpt,
                      "--vocab", os.path.join(out, "vocab.txt"), wav])
