@@ -107,6 +107,15 @@ class ModelConfig:
     attn_heads: int = 4             # — the attention model family; MXU-
     attn_ff_mult: int = 4           # dominated, no sequential-in-time
     attn_conv_kernel: int = 15      # recurrence). 0 = no attention stack.
+    attn_chunk: int = 0             # >0: chunk-causal attention (STREAMING
+    attn_left_chunks: int = 4       # attention family) — queries attend to
+                                    # their own chunk (intra-chunk lookahead)
+                                    # + attn_left_chunks cached left chunks,
+                                    # and the block conv is causal; trains
+                                    # offline with the identical mask, so
+                                    # streaming == offline exactly. In
+                                    # SUBSAMPLED frames. 0 = global
+                                    # attention (offline-only).
     rnn_impl: str = "auto"          # "auto" | "scan" | "pallas" (models/rnn.py)
     proj_dim: int = 0               # 0 = straight to vocab
     vocab_size: int = 64            # symbols INCLUDING blank (class 0)
@@ -315,6 +324,23 @@ def preset_config(name: str) -> Config:
             # epochs, CER 0.98); at lr 3e-4 / warmup 1000 / clip 1 it exits
             # the plateau around epoch 7 and converges (CER 0.04 by epoch 11
             # on the parity corpus, still improving).
+            "optim.learning_rate": 3e-4,
+            "optim.warmup_steps": 1000,
+            "optim.clip_norm": 1.0,
+        })
+    if name == "conformer_stream":  # ONLINE attention family: chunk-causal
+        return base.override({      # MHSA (own chunk + 4 cached left chunks)
+            "model.preset": "conformer_stream",  # + causal depthwise conv +
+            "model.rnn_type": "none",            # causal CMVN — streams
+            "model.rnn_layers": 0,               # EXACTLY (KV-cache carries,
+            "model.attn_blocks": 8,              # decode/streaming.py)
+            "model.attn_dim": 256,
+            "model.attn_heads": 4,
+            "model.attn_chunk": 16,        # 16 subsampled frames = 640 ms
+            "model.attn_left_chunks": 4,   # 2.56 s cached left context
+            "features.cmvn_mode": "causal",
+            "specaugment.enabled": True,
+            # same plateau-exiting recipe as the offline conformer preset
             "optim.learning_rate": 3e-4,
             "optim.warmup_steps": 1000,
             "optim.clip_norm": 1.0,

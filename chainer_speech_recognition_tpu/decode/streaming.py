@@ -37,6 +37,16 @@ How each model component streams
   least ``right_frames`` of real future context. When a window reaches the
   true utterance end the computation is EXACT (tests/test_streaming.py
   asserts streaming == offline in that regime).
+* **Chunk-causal attention** (`conformer_stream`, ``model.attn_chunk > 0``):
+  the emit region IS one attention chunk; per-block carries hold the last
+  ``attn_left_chunks`` chunks of post-RoPE K/V plus the causal conv's
+  ``k−1``-frame tail, and three position counters (global frame index,
+  total valid frames, endpoint segment start) decide which cached keys are
+  attendable. The offline forward applies the IDENTICAL chunk mask
+  (models/attention.py), so streaming == offline exactly — the attention
+  family's analogue of the forward-only RNN contract. Global-attention
+  presets (attn_chunk == 0) still refuse loudly. Latency is the chunk
+  itself (intra-chunk lookahead): ``right_frames`` must be 0.
 * **Greedy CTC collapse**: argmax per frame with the previous chunk's last
   raw frame id carried, so repeats collapse correctly across boundaries.
 * **Prefix beam search** (``decoder="beam"``, optional LM fusion): the
@@ -91,11 +101,14 @@ def stream_geometry(model, chunk_frames: int, right_frames: int,
       boundary see zero-padded conv context (callers should surface
       this to the user).
     """
-    if getattr(model.cfg, "attn_blocks", 0):
+    ac = getattr(model.cfg, "attn_chunk", 0)
+    if getattr(model.cfg, "attn_blocks", 0) and not ac:
         raise ValueError(
-            "attention presets (model.attn_blocks > 0) have a global "
-            "receptive field — chunked streaming cannot reproduce the "
-            "offline computation; serve them with evaluate/decode instead")
+            "global-attention presets (model.attn_blocks > 0, attn_chunk "
+            "== 0) have a global receptive field — chunked streaming "
+            "cannot reproduce the offline computation; serve them with "
+            "evaluate/decode, or train a chunk-causal preset "
+            "(conformer_stream) to stream the attention family")
     s = model.subsample_factor()
     Cf = _round_up(max(chunk_frames, s), s)
     Rf = _round_up(max(right_frames, 0), s)
@@ -107,6 +120,22 @@ def stream_geometry(model, chunk_frames: int, right_frames: int,
     min_c = _round_up(La + _D + 1, s)
     if Cf < min_c:
         Cf = min_c
+    if ac:
+        # chunk-causal attention: the emit region must BE one attention
+        # chunk (the KV-cache carries roll by exactly one chunk per step,
+        # models/presets.py), and the lookahead lives INSIDE the chunk —
+        # right_frames would shift the attention grid off its training-
+        # time alignment, so it must be 0
+        if right_frames:
+            raise ValueError(
+                "chunk-causal attention has its lookahead inside the "
+                "chunk (attn_chunk covers it); right_frames must be 0")
+        Cf, Rf = ac * s, 0
+        if Cf < min_c:
+            raise ValueError(
+                f"attn_chunk={ac} gives a {Cf}-frame emit region, below "
+                f"the geometry floor {min_c} (conv margin {La} + delta "
+                f"margin {_D} + 1) — train with a larger attn_chunk")
     return {"s": s, "C": Cf, "R": Rf, "La": La,
             "conv_exact": Rf >= model.conv_right_margin(),
             "W_first": Cf + Rf + _D,              # logmel frames, first
@@ -330,7 +359,11 @@ class StreamingRecognizer:
                      self.model.init_stream_carries(B)]
         self._prev = jnp.full((B,), BLANK_ID, jnp.int32)
         if self._shard is not None:      # commit carries to the mesh
-            self._rnn = [jax.device_put(h, self._shard(1)) for h in self._rnn]
+            # rank-aware: carries range from [B] int32 position counters
+            # to [B,P,h,dh] attention KV caches — shard dim 0, replicate
+            # the rest
+            self._rnn = [jax.device_put(h, self._shard(h.ndim - 1))
+                         for h in self._rnn]
             self._prev = jax.device_put(self._prev, self._shard(0))
         self._out: list[list[int]] = [[] for _ in range(B)]
         self._emitted_upto = [0] * B     # consumed ids per stream
@@ -516,9 +549,12 @@ class StreamingRecognizer:
                 end = self._t0 - trail_at[b] * s      # ~last speech frame
                 self.segments[b].append((seg, int(end)))
                 self._seg_start[b] = len(self._out[b])
-        # next utterance starts fresh: forward-RNN state + greedy repeat
-        # carry reset (causal-CMVN stats continue — same channel)
-        self._rnn = [h.at[rows].set(0.0) for h in self._rnn]
+        # next utterance starts fresh: model stream state + greedy repeat
+        # carry reset (causal-CMVN stats continue — same channel). The
+        # model owns its carry semantics: RNN states zero; chunk-causal
+        # attention advances its segment boundary instead
+        # (models/presets.py::reset_stream_rows)
+        self._rnn = self.model.reset_stream_rows(self._rnn, rows)
         self._prev = self._prev.at[rows].set(BLANK_ID)
 
     def _trim(self) -> None:

@@ -58,24 +58,60 @@ class AcousticModel(nn.Module):
             x = x[:, drop_left:]
             lens = jnp.maximum(lens - drop_left, 0)
 
+        new_carries = []
+        rnn_off = 0
         if cfg.attn_blocks:
-            if stream:
+            if stream and not cfg.attn_chunk:
                 # full self-attention has a GLOBAL receptive field: a
                 # chunked call cannot reproduce the offline computation,
                 # so streaming refuses loudly instead of silently
-                # degrading (decode/streaming.py guards on this too)
+                # degrading (decode/streaming.py guards on this too).
+                # Chunk-causal presets (attn_chunk > 0) DO stream — the
+                # offline forward applies the identical chunk mask.
                 raise ValueError(
-                    "attention presets do not support streaming calls")
+                    "global-attention presets do not support streaming "
+                    "calls; train a chunk-causal preset (attn_chunk > 0, "
+                    "e.g. conformer_stream) to serve attention online")
             if x.shape[-1] != cfg.attn_dim:
                 x = nn.Dense(cfg.attn_dim, dtype=dtype,
                              param_dtype=jnp.float32, name="attn_in")(x)
+            cache_mask = pos0 = None
+            if stream:
+                # model-level stream carries (init_stream_carries layout):
+                # [pos0, total_valid, seg_start] + 3 per block. pos0 is
+                # each row's global subsampled index of window frame 0;
+                # a cached key slot is valid iff its global position has
+                # been fed real audio (< total_valid) and is not behind
+                # an endpoint boundary (>= seg_start) — garbage k/v from
+                # padded frames enter the rolled cache positionally but
+                # can never be attended (exact offline equality).
+                P = cfg.attn_chunk * cfg.attn_left_chunks
+                pos0, total_valid, seg_start = rnn_carries[:3]
+                kpos = (pos0[:, None] - P
+                        + jnp.arange(P, dtype=jnp.int32)[None, :])  # [B, P]
+                cache_mask = ((kpos >= 0)
+                              & (kpos >= seg_start[:, None])
+                              & (kpos < total_valid[:, None]))
+                new_carries += [
+                    pos0 + cfg.attn_chunk,
+                    total_valid + lens.astype(jnp.int32),
+                    seg_start,
+                ]
+                rnn_off = 3 + 3 * cfg.attn_blocks
             for i in range(cfg.attn_blocks):
-                x = ConformerBlock(
+                block = ConformerBlock(
                     heads=cfg.attn_heads, ff_mult=cfg.attn_ff_mult,
                     conv_kernel=cfg.attn_conv_kernel, dtype=dtype,
-                    name=f"conformer{i}")(x, lens)
+                    chunk=cfg.attn_chunk, left_chunks=cfg.attn_left_chunks,
+                    name=f"conformer{i}")
+                if stream:
+                    x, blk_carries = block(
+                        x, lens, carries=rnn_carries[3 + 3 * i : 6 + 3 * i],
+                        cache_mask=cache_mask, pos0=pos0)
+                    new_carries += list(blk_carries)
+                else:
+                    x = block(x, lens)
 
-        new_carries = []
         if cfg.rnn_type != "none":
             for i in range(cfg.rnn_layers):
                 layer = BiRNNLayer(
@@ -84,7 +120,7 @@ class AcousticModel(nn.Module):
                     bidirectional=cfg.rnn_bidirectional, name=f"birnn{i}",
                 )
                 if stream:
-                    x, h = layer(x, lens, h0_fwd=rnn_carries[i],
+                    x, h = layer(x, lens, h0_fwd=rnn_carries[rnn_off + i],
                                  emit_carry_at=carry_at)
                     new_carries.append(h)
                 else:
@@ -109,14 +145,56 @@ class AcousticModel(nn.Module):
         return f
 
     def init_stream_carries(self, batch: int) -> list:
-        """Zero forward-direction RNN states for a fresh stream (one per
-        BiRNN layer; [] for conv-only models)."""
+        """Zero stream state for a fresh stream — a FLAT list of arrays
+        (decode/streaming.py reshards and endpoint-resets them
+        uniformly). Layout: chunk-causal attention carries first
+        (``[pos0, total_valid, seg_start]`` + per block
+        ``[k_cache, v_cache, conv_tail]``), then one forward-direction
+        state per BiRNN layer; [] for conv-only models."""
         cfg = self.cfg
-        if cfg.rnn_type == "none":
-            return []
-        dim = cfg.rnn_hidden * (2 if cfg.rnn_type == "lstm" else 1)
-        return [jnp.zeros((batch, dim), jnp.float32)
-                for _ in range(cfg.rnn_layers)]
+        carries: list = []
+        if cfg.attn_blocks and cfg.attn_chunk:
+            if cfg.attn_left_chunks < 1:
+                raise ValueError("attn_chunk > 0 needs attn_left_chunks >= 1")
+            P = cfg.attn_chunk * cfg.attn_left_chunks
+            dh = cfg.attn_dim // cfg.attn_heads
+            cdt = jnp.dtype(cfg.compute_dtype)
+            carries += [jnp.zeros((batch,), jnp.int32) for _ in range(3)]
+            for _ in range(cfg.attn_blocks):
+                carries += [
+                    jnp.zeros((batch, P, cfg.attn_heads, dh), cdt),  # k
+                    jnp.zeros((batch, P, cfg.attn_heads, dh), cdt),  # v
+                    jnp.zeros((batch, cfg.attn_conv_kernel - 1,
+                               cfg.attn_dim), cdt),                  # conv
+                ]
+        if cfg.rnn_type != "none":
+            dim = cfg.rnn_hidden * (2 if cfg.rnn_type == "lstm" else 1)
+            carries += [jnp.zeros((batch, dim), jnp.float32)
+                        for _ in range(cfg.rnn_layers)]
+        return carries
+
+    def reset_stream_rows(self, carries: list, rows) -> list:
+        """Endpoint reset (decode/streaming.py): start a fresh utterance on
+        ``rows`` without touching other lockstep streams. RNN states and
+        the causal-conv tails zero (== the offline left edge); the
+        attention KV caches stay — ``seg_start`` advances to the frames
+        already seen, so pre-boundary keys simply become unattendable
+        (cheaper than zeroing, and keeps per-row position bookkeeping
+        exact). ``pos0``/``total_valid`` keep counting: RoPE scores
+        depend only on relative offsets, so the absolute origin is free."""
+        cfg = self.cfg
+        out = list(carries)
+        off = 0
+        if cfg.attn_blocks and cfg.attn_chunk:
+            pos0, total_valid, seg_start = carries[:3]
+            out[2] = seg_start.at[rows].set(total_valid[rows])
+            for i in range(cfg.attn_blocks):
+                j = 3 + 3 * i + 2                       # conv_tail
+                out[j] = carries[j].at[rows].set(0.0)
+            off = 3 + 3 * cfg.attn_blocks
+        for i in range(off, len(carries)):
+            out[i] = carries[i].at[rows].set(0.0)
+        return out
 
     def conv_receptive_margin(self) -> int:
         """Input-frame margin that fully covers the conv (+GLU) stack's

@@ -60,7 +60,11 @@ def forward_flops_per_utt(cfg: ModelConfig, frames: int,
         if d != dm:
             total += 2.0 * t * d * dm             # attn_in projection
         per_block = 4 * 2.0 * t * dm * dm         # q,k,v,out projections
-        per_block += 2 * 2.0 * t * t * dm         # scores + value einsums
+        # chunk-causal attention bounds each query's key extent to its own
+        # chunk + attn_left_chunks cached chunks; global attention sees t
+        keys = (min(t, cfg.attn_chunk * (cfg.attn_left_chunks + 1))
+                if cfg.attn_chunk else t)
+        per_block += 2 * 2.0 * t * keys * dm      # scores + value einsums
         per_block += 2 * 2 * 2.0 * t * dm * (cfg.attn_ff_mult * dm)  # 2 FFNs
         per_block += 2.0 * t * dm * 2 * dm        # conv module pw_in (GLU)
         per_block += 2.0 * t * dm * dm            # conv module pw_out

@@ -145,3 +145,58 @@ def test_conformer_preset_bakes_gentle_optimizer():
     assert cfg.optim.learning_rate == 3e-4
     assert cfg.optim.warmup_steps == 1000
     assert cfg.optim.clip_norm == 1.0
+
+
+def test_chunk_causal_offline_prefix_property():
+    """Chunk-causal attention (attn_chunk > 0) bounds the receptive field:
+    logits up to a chunk boundary are identical whether or not audio
+    exists beyond it (the property that makes exact streaming possible).
+    A GLOBAL-attention model must fail this (the mask has teeth)."""
+    def prefix_gap(model):
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((1, 128, 40, 3)),
+            jnp.float32)
+        params = jax.jit(model.init)(jax.random.key(1), x,
+                                     jnp.asarray([128]))
+        apply = jax.jit(model.apply,
+                        static_argnames=())  # two shapes, two compiles
+        full, _ = apply(params, x, jnp.asarray([128]))
+        # 64 input frames = 16 subsampled = 4 chunks of 4
+        head, _ = apply(params, x[:, :64], jnp.asarray([64]))
+        return float(np.max(np.abs(np.asarray(full)[0, :16]
+                                   - np.asarray(head)[0, :16])))
+
+    chunked = _tiny_model(attn_blocks=2, attn_chunk=4, attn_left_chunks=2,
+                          attn_conv_kernel=7)
+    assert prefix_gap(chunked) < 1e-5
+    global_attn = _tiny_model(attn_blocks=2, attn_conv_kernel=7)
+    assert prefix_gap(global_attn) > 1e-4
+
+
+def test_chunk_causal_padding_invariance():
+    """The chunk-causal variant keeps the exact batched == per-utterance
+    contract (padded keys masked, causal conv sees zeroed frames)."""
+    model = _tiny_model(attn_chunk=4, attn_left_chunks=2, attn_conv_kernel=7)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((3, 37, 40, 3)),
+                    jnp.float32)
+    lens = jnp.asarray([37, 20, 9])
+    params = jax.jit(model.init)(jax.random.key(0), x, lens)
+    apply = jax.jit(model.apply)
+    logits, olens = apply(params, x, lens)
+    logits2, _ = apply(params, x[:, :20], jnp.asarray([20, 20, 9]))
+    o = int(np.asarray(olens)[1])
+    np.testing.assert_allclose(np.asarray(logits)[1, :o],
+                               np.asarray(logits2)[1, :o], atol=1e-5)
+    assert np.all(np.asarray(logits)[2, int(np.asarray(olens)[2]):] == 0)
+
+
+def test_conformer_stream_preset():
+    cfg = preset_config("conformer_stream")
+    assert cfg.model.attn_chunk == 16 and cfg.model.attn_left_chunks == 4
+    assert cfg.features.cmvn_mode == "causal"
+    assert cfg.optim.learning_rate == 3e-4      # same plateau recipe
+    model = build_model(cfg.model)
+    g = stream_geometry(model, chunk_frames=64, right_frames=0)
+    assert g["C"] == 64 and g["R"] == 0 and g["conv_exact"]
+    with pytest.raises(ValueError, match="right_frames must be 0"):
+        stream_geometry(model, chunk_frames=64, right_frames=16)

@@ -513,3 +513,94 @@ def test_streaming_pallas_rnn_matches_scan(name, cell):
         rec.flush(num_samples=ns)
         outs[impl] = rec.emitted
     assert outs["pallas"] == outs["scan"]
+
+
+def _setup_attn(seed=40):
+    return _setup("conformer_stream", seed=seed, attn_blocks=2, attn_dim=16,
+                  attn_heads=2, attn_chunk=4, attn_left_chunks=2,
+                  attn_conv_kernel=7)
+
+
+def test_chunk_causal_attention_streaming_exact():
+    """STREAMING ATTENTION: a chunk-causally trained conformer streams
+    exactly — per-block KV caches carry the left context, the causal-conv
+    tails carry the depthwise receptive field, and the offline forward
+    applies the identical chunk mask. Two lockstep streams of different
+    true lengths: streaming == offline."""
+    cfg, model, params = _setup_attn()
+    ns = [9600, 7040]
+    pcm = _pcm((2, max(ns)), seed=41)
+    pcm[1, ns[1]:] = 0.0
+
+    # attn_chunk=4, s=4 -> geometry forces C=16; 61 frames -> 4 windows,
+    # so the KV cache (2 chunks) rolls past its capacity (older context
+    # correctly discarded, matching the offline mask)
+    rec = StreamingRecognizer(model, params, cfg, batch=2,
+                              chunk_frames=16, right_frames=0)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=ns)
+    assert rec.emitted == _offline_ids(model, cfg, params, pcm, ns)
+
+
+def test_chunk_causal_attention_block_split_invariance():
+    """Eager ragged feeding reaches the same transcription — every
+    attention carry (positions, validity counters, KV caches, conv
+    tails) is invariant to how the PCM arrives."""
+    cfg, model, params = _setup_attn(seed=42)
+    n = 9600
+    pcm = _pcm((n,), seed=43)
+
+    def run(blocks):
+        rec = StreamingRecognizer(model, params, cfg, batch=1,
+                                  chunk_frames=16, right_frames=0)
+        out: list[int] = []
+        for blk in blocks:
+            out += rec.accept(blk)[0]
+        out += rec.flush()[0]
+        return out
+
+    one = run([pcm])
+    many = run([pcm[:37], pcm[37:3000], pcm[3000:3001], pcm[3001:]])
+    assert one == many
+    assert one == _offline_ids(model, cfg, params, pcm[None], [n])[0]
+
+
+def test_chunk_causal_attention_streaming_beam_exact():
+    """Streaming BEAM on the chunk-causal conformer == offline beam (the
+    online attention stack composes with the carried beam state)."""
+    cfg, model, params = _setup_attn(seed=44)
+    n = 9600
+    pcm = _pcm((1, n), seed=45)
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=0,
+                              decoder="beam", beam=4)
+    rec.accept(pcm, drain=False)
+    rec.flush(num_samples=[n])
+    assert rec.emitted == _offline_beam_ids(model, cfg, params, pcm, [n],
+                                            beam=4)
+
+
+def test_chunk_causal_attention_endpointing():
+    """Endpointing on the attention family: the reset advances the
+    per-row attention segment boundary (pre-boundary KV cache becomes
+    unattendable) instead of zeroing it — segments still concatenate to
+    `emitted` and the run completes."""
+    from chainer_speech_recognition_tpu.data.synthetic import make_utterance
+
+    cfg, model, params = _setup_attn(seed=46)
+    rng = np.random.default_rng(2)
+    sig1, _ = make_utterance(rng, [1, 2], tone_len=1600)
+    sig2, _ = make_utterance(rng, [3, 1], tone_len=1600)
+    sil = np.zeros(32000, np.float32)
+    pcm = np.concatenate([sig1, sil, sig2, sil]).astype(np.float32)
+
+    rec = StreamingRecognizer(model, params, cfg, batch=1,
+                              chunk_frames=16, right_frames=0,
+                              endpoint_ms=600)
+    for a in range(0, len(pcm), 1600):
+        rec.accept(pcm[a : a + 1600])
+    rec.flush()
+    segs = rec.segments[0]
+    assert sum((s for s, _ in segs), []) == rec.emitted[0]
+    ends = [e for _, e in segs]
+    assert ends == sorted(ends)
