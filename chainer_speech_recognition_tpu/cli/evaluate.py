@@ -130,9 +130,10 @@ def main(argv=None):
                         "checkpoint")
     p.add_argument("--stream-chunk", type=int, default=64,
                    help="streaming: emitted frames per step (10 ms units)")
-    p.add_argument("--stream-right", type=int, default=16,
+    p.add_argument("--stream-right", type=int, default=None,
                    help="streaming: lookahead frames — buffering latency "
-                        "= (chunk + right) x 10 ms")
+                        "= (chunk + right) x 10 ms. Default 16, or 0 for "
+                        "chunk-causal attention checkpoints")
     p.add_argument("--stream-batch", type=int, default=16,
                    help="streaming: lockstep streams per compiled step")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
@@ -169,6 +170,9 @@ def main(argv=None):
     if args.streaming and (args.compare or args.tune_lm):
         raise SystemExit("--streaming scores one decoder; it combines with "
                          "--beam/--lm but not --compare/--tune-lm")
+    if args.stream_right is None:   # model-aware default (stream_geometry
+        # rejects lookahead on chunk-causal attention checkpoints)
+        args.stream_right = 0 if getattr(cfg.model, "attn_chunk", 0) else 16
 
     # shard eval over every available device when the static bucket batch
     # sizes split evenly (VERDICT r1 missing #3); else single-device

@@ -135,9 +135,11 @@ def main(argv=None):
                    choices=("auto", "dense", "hashed"))
     p.add_argument("--chunk-frames", type=int, default=64,
                    help="emitted frames per streaming step (10 ms units)")
-    p.add_argument("--right-frames", type=int, default=16,
+    p.add_argument("--right-frames", type=int, default=None,
                    help="future context per emitted frame (10 ms units); "
-                        "latency = (chunk+right) x 10 ms + compute")
+                        "latency = (chunk+right) x 10 ms + compute. "
+                        "Default 16, or 0 for chunk-causal attention "
+                        "models (their lookahead lives inside the chunk)")
     p.add_argument("--block-ms", type=float, default=100.0,
                    help="PCM feed granularity for --partials / --raw "
                         "(simulated real time; batch wav mode buffers "
@@ -189,6 +191,10 @@ def main(argv=None):
     if args.lm:
         from ..decode.lm import NGramLM, device_lm
         lm = device_lm(NGramLM.from_arpa(args.lm, vocab), args.lm_repr)
+
+    if args.right_frames is None:   # model-aware default (stream_geometry
+        # rejects lookahead on chunk-causal attention models)
+        args.right_frames = 0 if getattr(cfg.model, "attn_chunk", 0) else 16
 
     batch = (1 if args.raw or args.partials
              else min(args.batch, len(args.wavs)))
