@@ -116,6 +116,9 @@ class ModelConfig:
                                     # streaming == offline exactly. In
                                     # SUBSAMPLED frames. 0 = global
                                     # attention (offline-only).
+    attn_impl: str = "auto"         # "auto" | "einsum" | "flash": auto =
+                                    # Pallas flash attention on TPU for
+                                    # offline calls (ops/attention_pallas.py)
     rnn_impl: str = "auto"          # "auto" | "scan" | "pallas" (models/rnn.py)
     proj_dim: int = 0               # 0 = straight to vocab
     vocab_size: int = 64            # symbols INCLUDING blank (class 0)

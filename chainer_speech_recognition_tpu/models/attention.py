@@ -105,17 +105,25 @@ class _MHSA(nn.Module):
     returned rolled caches carry the last ``left_chunks`` chunks forward.
     The allowed key set is identical to the offline chunk mask, and
     masked probabilities are exactly 0.0, so streaming == offline.
+
+    ``impl``: "auto" routes the OFFLINE path through the Pallas flash
+    kernel (ops/attention_pallas.py — no [B, h, T, T] HBM round trip) on
+    TPU when ``lengths`` are available, the einsum path otherwise;
+    "einsum"/"flash" force one. Streaming steps always use the einsum
+    path (per-chunk T is tiny; nothing quadratic to save).
     """
 
     heads: int
     dtype: jnp.dtype
     chunk: int = 0
     left_chunks: int = 0
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, kv_cache=None,
                  cache_mask: jnp.ndarray | None = None,
-                 pos0: jnp.ndarray | None = None):
+                 pos0: jnp.ndarray | None = None,
+                 lengths: jnp.ndarray | None = None):
         B, T, d = x.shape
         h = self.heads
         dh = d // h
@@ -125,6 +133,16 @@ class _MHSA(nn.Module):
         k = dense("k")(x).reshape(B, T, h, dh)
         v = dense("v")(x).reshape(B, T, h, dh)
         q, k = rope(q, pos0=pos0), rope(k, pos0=pos0)
+        if kv_cache is None and lengths is not None and self.impl != "einsum":
+            from ..ops import attention_pallas as ap
+            import jax
+            if self.impl == "flash" or (jax.default_backend() == "tpu"
+                                        and ap.supports(T, dh)):
+                out = ap.flash_mhsa(
+                    q.astype(self.dtype), k.astype(self.dtype),
+                    v.astype(self.dtype), lengths,
+                    chunk=self.chunk, left_chunks=self.left_chunks)
+                return dense("out")(out.reshape(B, T, d))
         if kv_cache is not None:
             k_cache, v_cache = kv_cache                  # [B, P, h, dh] ×2
             P = k_cache.shape[1]
@@ -239,6 +257,7 @@ class ConformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     chunk: int = 0
     left_chunks: int = 0
+    impl: str = "auto"                 # "auto" | "einsum" | "flash"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, carries=None,
@@ -255,13 +274,14 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * _FFN(self.ff_mult, self.dtype, name="ffn1")(
             pre("ln_ffn1", x)).astype(jnp.float32)
         mhsa = _MHSA(self.heads, self.dtype, chunk=self.chunk,
-                     left_chunks=self.left_chunks, name="mhsa")
+                     left_chunks=self.left_chunks, impl=self.impl,
+                     name="mhsa")
         if stream:
             att, new_kv = mhsa(pre("ln_mhsa", x), mask,
                                kv_cache=(carries[0], carries[1]),
                                cache_mask=cache_mask, pos0=pos0)
         else:
-            att = mhsa(pre("ln_mhsa", x), mask, pos0=pos0)
+            att = mhsa(pre("ln_mhsa", x), mask, pos0=pos0, lengths=lengths)
         x = x + att.astype(jnp.float32)
         conv = _ConvModule(self.conv_kernel, self.dtype,
                            causal=self.chunk > 0, name="conv")

@@ -1,0 +1,332 @@
+"""Flash self-attention as a Pallas TPU kernel with a custom VJP — the
+attention family's score/value einsums without the [B, h, T, T] HBM
+round trip (models/attention.py materializes fp32 scores AND bf16 probs
+per block; at the bench shape B64/T256/h4 that is ~100 MB of HBM traffic
+per block per direction, ~20% of the conformer step on a v5e relay, and
+it grows quadratically with the bucket's subsampled length).
+
+Semantics are EXACTLY those of models/attention.py::_MHSA's offline
+einsum path (the always-available fallback and the differential oracle,
+tests/test_attention_pallas.py): fp32 scores with `preferred_element_type`,
+key-side padding mask at -1e30, fp32 softmax, bf16 probs into the value
+matmul. Both the padding mask and the chunk-causal pattern
+(`chunk_causal_mask`) are reproduced IN-KERNEL from block positions via
+`broadcasted_iota` — no [T, T] mask tensor exists anywhere.
+
+Layout: [BH, T, dh] with BH = B·heads (the wrapper folds heads into the
+grid's batch dimension). The forward is the standard online-softmax
+flash schedule — grid (BH, T/bq, T/bk), innermost axis walks key blocks
+sequentially with running (max, sum, acc) carries resident in VMEM
+scratch — and emits the logsumexp rows for the backward. The backward
+recomputes probabilities from (q, k, lse) per block (nothing quadratic
+is ever stored): one kernel accumulates dQ over key blocks, a second
+accumulates dK/dV over query blocks with D = rowsum(dO ⊙ O) precomputed
+by XLA (one cheap fused elementwise reduce).
+
+Numerics vs the einsum oracle: identical masking constant, identical
+matmul precision classes; the only difference is online-softmax
+re-association (fp32, ≤1e-5 on probs). Padded-query rows compute
+garbage-but-finite values exactly as the einsum path does — every
+ConformerBlock re-zeroes padded frames on exit, so their cotangent is
+exactly zero and the backward's p≈1 degenerate rows contribute nothing.
+
+Upstream parity anchor: the reference has no attention anywhere
+(SURVEY.md §2.7) — this kernel serves the beyond-reference attention
+family only, and models/attention.py keeps the einsum path as fallback
+for CPU and for streaming steps (tiny per-chunk T; nothing quadratic to
+save there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # same masking constant as models/attention.py
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _positions(i, j, bq, bk):
+    qpos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    return qpos, kpos
+
+
+def _allowed(qpos, kpos, n_valid, chunk, left_chunks):
+    ok = kpos < n_valid
+    if chunk:
+        qc, kc = qpos // chunk, kpos // chunk
+        ok &= (kc <= qc) & (kc >= qc - left_chunks)
+    return ok
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_sc, m_sc, l_sc, *, scale, bq, bk, chunk, left_chunks):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, _NEG)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    q, k = q_ref[0], k_ref[0]                            # [bq|bk, dh]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    qpos, kpos = _positions(i, j, bq, bk)
+    s = jnp.where(_allowed(qpos, kpos, len_ref[0], chunk, left_chunks),
+                  s, _NEG)
+
+    m_prev = m_sc[:, 0:1]                                # [bq, 1]
+    l_prev = l_sc[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)                               # [bq, bk] fp32
+    corr = jnp.exp(m_prev - m_new)                       # [bq, 1]
+    l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_sc[:] = acc_sc[:] * corr + pv
+    m_sc[:, 0:1] = m_new
+    l_sc[:, 0:1] = l_new
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_sc[:] / l_new).astype(o_ref.dtype)
+        lse_ref[0] = m_new[:, 0] + jnp.log(l_new[:, 0])
+
+
+def _flash_forward(q3, k3, v3, lens, chunk, left_chunks):
+    """q3/k3/v3 [BH, T, dh] (T pre-padded to the block grid), lens [BH]
+    int32. Returns (out [BH, T, dh], lse [BH, T] fp32)."""
+    BH, T, dh = q3.shape
+    bq, bk = _blocks(T)
+    scale = 1.0 / (dh ** 0.5)
+    kern = functools.partial(_fwd_kernel, scale=scale, bq=bq, bk=bk,
+                             chunk=chunk, left_chunks=left_chunks)
+    return pl.pallas_call(
+        kern,
+        grid=(BH, T // bq, T // bk),
+        in_specs=[
+            pl.BlockSpec((1,), lambda b, i, j: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, dh), q3.dtype),
+            jax.ShapeDtypeStruct((BH, T), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        interpret=_interp(),
+    )(lens, q3, k3, v3)
+
+
+# ---------------------------------------------------------------- backward
+
+def _probs(q, k, lse_row, i, j, n_valid, scale, bq, bk, chunk, left_chunks):
+    """Recompute the [bq, bk] probability block from saved logsumexp."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    qpos, kpos = _positions(i, j, bq, bk)
+    s = jnp.where(_allowed(qpos, kpos, n_valid, chunk, left_chunks), s, _NEG)
+    return jnp.exp(s - lse_row[:, None])
+
+
+def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                   dq_ref, dq_sc, *, scale, bq, bk, chunk, left_chunks):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    p = _probs(q, k, lse_ref[0], i, j, len_ref[0],
+               scale, bq, bk, chunk, left_chunks)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - d_ref[0][:, None])                    # [bq, bk] fp32
+    dq_sc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(j == nk - 1)
+    def _():
+        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                    dk_ref, dv_ref, dk_sc, dv_sc,
+                    *, scale, bq, bk, chunk, left_chunks):
+    j, i = pl.program_id(1), pl.program_id(2)           # key outer, query inner
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    p = _probs(q, k, lse_ref[0], i, j, len_ref[0],
+               scale, bq, bk, chunk, left_chunks)
+    pv = p.astype(do.dtype)
+    dv_sc[:] += jax.lax.dot_general(pv, do, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - d_ref[0][:, None])).astype(q.dtype)  # [bq, bk]
+    dk_sc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q3, k3, v3, lens, out, lse, do, chunk, left_chunks):
+    BH, T, dh = q3.shape
+    bq, bk = _blocks(T)
+    scale = 1.0 / (dh ** 0.5)
+    # D = rowsum(dO ⊙ O): one fused elementwise reduce in XLA — nothing
+    # quadratic, no reason to burn a kernel on it
+    d_rows = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                     axis=-1)                            # [BH, T]
+    qspec = pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0))
+    rspec = pl.BlockSpec((1, bq), lambda b, i, j: (b, i))
+    lspec = pl.BlockSpec((1,), lambda b, i, j: (b,), memory_space=pltpu.SMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, bq=bq, bk=bk,
+                          chunk=chunk, left_chunks=left_chunks),
+        grid=(BH, T // bq, T // bk),
+        in_specs=[lspec, qspec, kspec, kspec, qspec, rspec, rspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((BH, T, dh), q3.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
+        interpret=_interp(),
+    )(lens, q3, k3, v3, do, lse, d_rows)
+    # dK/dV walk query blocks innermost: swap the roles of the two
+    # non-batch grid axes (program_id(1) = key block, program_id(2) =
+    # query block)
+    qspec_t = pl.BlockSpec((1, bq, dh), lambda b, j, i: (b, i, 0))
+    kspec_t = pl.BlockSpec((1, bk, dh), lambda b, j, i: (b, j, 0))
+    rspec_t = pl.BlockSpec((1, bq), lambda b, j, i: (b, i))
+    lspec_t = pl.BlockSpec((1,), lambda b, j, i: (b,),
+                           memory_space=pltpu.SMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, bq=bq, bk=bk,
+                          chunk=chunk, left_chunks=left_chunks),
+        grid=(BH, T // bk, T // bq),
+        in_specs=[lspec_t, qspec_t, kspec_t, kspec_t, qspec_t,
+                  rspec_t, rspec_t],
+        out_specs=(kspec_t, kspec_t),
+        out_shape=(jax.ShapeDtypeStruct((BH, T, dh), k3.dtype),
+                   jax.ShapeDtypeStruct((BH, T, dh), v3.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, dh), jnp.float32),
+                        pltpu.VMEM((bk, dh), jnp.float32)],
+        interpret=_interp(),
+    )(lens, q3, k3, v3, do, lse, d_rows)
+    return dq, dk, dv
+
+
+# ----------------------------------------------------------- public entry
+
+def _blocks(T):
+    bq = T if T <= 256 else 256
+    bk = 512 if T % 512 == 0 else (T if T <= 256 else 256)
+    return bq, bk
+
+
+def _pad_t(T):
+    """Pad the time axis so the block grid divides it (multiples of 256
+    past 256; the lane-dim minimum of 128 below)."""
+    if T <= 128:
+        return 128
+    if T <= 256:
+        return 256
+    return -(-T // 256) * 256
+
+
+def supports(T, dh):
+    """Shape gate for the auto path: the kernel handles any T via
+    padding; dh must be lane-tileable."""
+    del T
+    return dh % 64 == 0 and dh <= 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_core(q3, k3, v3, lens, chunk, left_chunks):
+    out, _ = _flash_forward(q3, k3, v3, lens, chunk, left_chunks)
+    return out
+
+
+def _flash_core_fwd(q3, k3, v3, lens, chunk, left_chunks):
+    out, lse = _flash_forward(q3, k3, v3, lens, chunk, left_chunks)
+    return out, (q3, k3, v3, lens, out, lse)
+
+
+def _flash_core_bwd(chunk, left_chunks, res, do):
+    q3, k3, v3, lens, out, lse = res
+    dq, dk, dv = _flash_backward(q3, k3, v3, lens, out, lse, do,
+                                 chunk, left_chunks)
+    return dq, dk, dv, jnp.zeros_like(lens)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_mhsa(q, k, v, lengths, *, chunk=0, left_chunks=0):
+    """Softmax(mask(q·kᵀ/√dh))·v for [B, T, h, dh] q/k/v (post-RoPE) and
+    [B] int32 valid lengths; key positions ≥ length are masked, and
+    ``chunk > 0`` additionally applies the chunk-causal pattern of
+    models/attention.py::chunk_causal_mask. Differentiable w.r.t.
+    q/k/v. Returns [B, T, h, dh] in q.dtype."""
+    B, T, h, dh = q.shape
+    Tp = _pad_t(T)
+    fold = lambda x: jnp.moveaxis(x, 2, 1).reshape(B * h, T, dh)
+    q3, k3, v3 = fold(q), fold(k), fold(v)
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T), (0, 0))
+        q3, k3, v3 = (jnp.pad(x, pad) for x in (q3, k3, v3))
+    lens = jnp.repeat(lengths.astype(jnp.int32), h)      # [BH]
+    out = _flash_core(q3, k3, v3, lens, int(chunk), int(left_chunks))
+    out = out[:, :T].reshape(B, h, T, dh)
+    return jnp.moveaxis(out, 1, 2)
+
+
+def reference_mhsa(q, k, v, lengths, *, chunk=0, left_chunks=0):
+    """The einsum oracle with IDENTICAL semantics (differential tests;
+    mirrors models/attention.py::_MHSA's offline path)."""
+    from ..models.attention import chunk_causal_mask
+    B, T, h, dh = q.shape
+    s = jnp.einsum("bthd,bshd->bhts", q, k,
+                   preferred_element_type=jnp.float32) / (dh ** 0.5)
+    ok = (jnp.arange(T)[None, :] < lengths[:, None])[:, None, None, :]
+    if chunk:
+        ok = ok & jnp.asarray(
+            chunk_causal_mask(T, chunk, left_chunks))[None, None]
+    s = jnp.where(ok, s, _NEG)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", p, v.astype(q.dtype))
