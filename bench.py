@@ -332,6 +332,10 @@ def main(argv=None):
     p.add_argument("--steps-per-dispatch", type=int, default=8)
     p.add_argument("--disk-stream-steps", type=int, default=6)
     p.add_argument("--disk-workdir", default="/tmp/csr_bench_corpus")
+    p.add_argument("--inject-error", default=None, metavar="SECTION",
+                   help="testing hook: raise inside the named section to "
+                        "exercise the crash isolation (tests/test_bench_"
+                        "isolation.py)")
     args = p.parse_args(argv)
 
     if args.backend == "cpu":
@@ -550,19 +554,25 @@ def main(argv=None):
         return (B_lm * n_rep / sdt, h.bytes,
                 V_lm ** 3 * V_lm * 4, build_s)
 
-    def bench_streaming(chunk=64, right=16, S=16, secs=8, decoder="greedy"):
+    def bench_streaming(chunk=64, right=16, S=16, secs=8, decoder="greedy",
+                        preset=None):
         """Online recognition (decode/streaming.py): S lockstep streams
         fed 1 s PCM blocks through the compiled chunk step; returns the
         steady-state real-time factor (audio-seconds per wall-second,
         all streams summed) at (chunk+right)*10 ms buffer latency.
         decoder="beam" adds the chunk-carried prefix beam + LM fusion
-        (K=8, dense bigram table) — the online config-4 path."""
+        (K=8, dense bigram table) — the online config-4 path.
+        ``preset`` overrides args.preset (the conformer_stream serving
+        figures, VERDICT r3 next #4); chunk-causal attention presets get
+        their emit region from attn_chunk and require right_frames=0."""
         from chainer_speech_recognition_tpu.decode.streaming import (
             StreamingRecognizer)
 
-        scfg = preset_config(args.preset).override({
+        scfg = preset_config(preset or args.preset).override({
             "features.cmvn_mode": "causal",
             "model.compute_dtype": compute_dtype})
+        if scfg.model.attn_chunk:
+            right = 0              # lookahead lives inside the chunk
         smodel = build_model(scfg.model)
         ex = jnp.zeros((1, 64, scfg.features.n_mels, 3), jnp.float32)
         sparams = jax.jit(smodel.init)(jax.random.key(0), ex,
@@ -586,44 +596,92 @@ def main(argv=None):
             sdt = time.perf_counter() - t0
         return S * secs / sdt
 
-    (ups_per_chip, decode_ups, mfu, flops_per_sec, last_loss,
-     dt, ddt) = bench_device_resident(cfg, model)
-    audio_sec = float(np.sum(batch["num_samples"])) / C.SAMPLE_RATE
-    rtf = audio_sec * args.steps / dt / n_chips    # audio-sec per wall-sec
-    decode_rtf = audio_sec * args.steps / ddt
-
-    if args.measure_baseline and args.backend != "cpu":
-        baseline = _measure_cpu_baseline(args)
-    else:
-        baseline = CPU_BASELINE_UPS.get((args.preset, B, args.frames))
-
     extra = {
         "backend": args.backend, "n_chips": n_chips,
         "device_kind": kind,
         "preset": args.preset, "batch": B, "frames": args.frames,
-        "single_dispatch_utt_per_sec": round(ups_per_chip, 1),
-        "train_rtf_per_chip": round(rtf, 1),
-        "model_tflops_per_sec": round(flops_per_sec / 1e12, 2),
-        "mfu": round(mfu, 4) if mfu is not None else None,
-        "decode_utt_per_sec_per_chip": round(decode_ups, 1),
-        "decode_rtf_per_chip": round(decode_rtf, 1),
-        "loss": round(last_loss, 4),
     }
+
+    def section(name, fn, default=None):
+        """Crash isolation (VERDICT r3 weak #3 / next #2): one broken
+        section must never unwind the process and erase the round's perf
+        record. A failure lands as ``extra["errors"][name]`` (traceback
+        tail) and the final JSON line still prints as the last stdout
+        line. ``--inject-error NAME`` exercises this path in tests."""
+        try:
+            if args.inject_error == name:
+                raise RuntimeError(f"injected failure in section {name!r}")
+            return fn()
+        except Exception:
+            import traceback
+            tail = [ln.strip() for ln in
+                    traceback.format_exc().strip().splitlines()
+                    if ln.strip()][-3:]
+            extra.setdefault("errors", {})[name] = " | ".join(tail)
+            print(f"[bench] section {name!r} failed: {tail[-1]}",
+                  file=sys.stderr, flush=True)
+            return default
+
+    dr = section("device_resident",
+                 lambda: bench_device_resident(cfg, model))
+    if dr is not None:
+        (ups_per_chip, decode_ups, mfu, flops_per_sec, last_loss,
+         dt, ddt) = dr
+        audio_sec = float(np.sum(batch["num_samples"])) / C.SAMPLE_RATE
+        extra.update({
+            "single_dispatch_utt_per_sec": round(ups_per_chip, 1),
+            "train_rtf_per_chip": round(
+                audio_sec * args.steps / dt / n_chips, 1),
+            "model_tflops_per_sec": round(flops_per_sec / 1e12, 2),
+            "mfu": round(mfu, 4) if mfu is not None else None,
+            "decode_utt_per_sec_per_chip": round(decode_ups, 1),
+            "decode_rtf_per_chip": round(audio_sec * args.steps / ddt, 1),
+            "loss": round(last_loss, 4),
+        })
+    else:
+        ups_per_chip = decode_ups = 0.0
+        mfu = None
+
+    if args.measure_baseline and args.backend != "cpu":
+        baseline = section("cpu_baseline",
+                           lambda: _measure_cpu_baseline(args))
+    else:
+        baseline = CPU_BASELINE_UPS.get((args.preset, B, args.frames))
+
     if args.backend == "tpu":
-        b_stream, b_sync = bench_beam_e2e(cfg, model)
-        extra["beam_e2e_utt_per_sec"] = round(b_stream, 1)
-        extra["beam_sync_utt_per_sec"] = round(b_sync, 1)
-        bh_ups, bh_bytes, bh_dense, bh_build = bench_beam_hashed()
-        extra["beam_hashed_o4_v200_utt_per_sec"] = round(bh_ups, 1)
-        extra["lm_hashed_o4_v200_mb"] = round(bh_bytes / 2**20, 1)
-        extra["lm_dense_o4_v200_equiv_gb"] = round(bh_dense / 2**30, 2)
-        if cfg.model.attn_blocks == 0:
-            # attention presets are offline-only (global receptive field;
-            # decode/streaming.py refuses them loudly) — skip the online
-            # figures rather than report a different preset's number
-            extra["stream_rt_factor_16"] = round(bench_streaming(), 1)
-            extra["stream_beam_lm_rt_factor_16"] = round(
-                bench_streaming(decoder="beam"), 1)
+        be = section("beam_e2e", lambda: bench_beam_e2e(cfg, model))
+        if be is not None:
+            extra["beam_e2e_utt_per_sec"] = round(be[0], 1)
+            extra["beam_sync_utt_per_sec"] = round(be[1], 1)
+        bh = section("beam_hashed", lambda: bench_beam_hashed())
+        if bh is not None:
+            extra["beam_hashed_o4_v200_utt_per_sec"] = round(bh[0], 1)
+            extra["lm_hashed_o4_v200_mb"] = round(bh[1] / 2**20, 1)
+            extra["lm_dense_o4_v200_equiv_gb"] = round(bh[2] / 2**30, 2)
+        # online figures for every STREAMABLE preset: RNN/conv presets and
+        # the chunk-causal attention family both stream; only global-
+        # attention presets (attn_blocks > 0, attn_chunk == 0) are
+        # offline-only and skip them
+        if cfg.model.attn_blocks == 0 or cfg.model.attn_chunk > 0:
+            r = section("streaming_greedy", lambda: bench_streaming())
+            if r is not None:
+                extra["stream_rt_factor_16"] = round(r, 1)
+            r = section("streaming_beam",
+                        lambda: bench_streaming(decoder="beam"))
+            if r is not None:
+                extra["stream_beam_lm_rt_factor_16"] = round(r, 1)
+        # chunk-causal attention serving figures (VERDICT r3 next #4):
+        # the streaming attention family's RT factor, greedy and beam+LM
+        if args.preset != "conformer_stream":
+            r = section("streaming_attn_greedy",
+                        lambda: bench_streaming(preset="conformer_stream"))
+            if r is not None:
+                extra["conformer_stream_rt_factor_16"] = round(r, 1)
+            r = section("streaming_attn_beam",
+                        lambda: bench_streaming(preset="conformer_stream",
+                                                decoder="beam"))
+            if r is not None:
+                extra["conformer_stream_beam_lm_rt_factor_16"] = round(r, 1)
     headline = ups_per_chip
 
     def result_line():
@@ -637,44 +695,54 @@ def main(argv=None):
         })
 
     if not args.no_from_disk and args.backend == "tpu":
-        fd, fd_ctx = _bench_from_disk(preset_config(args.preset).override(
-            {"model.compute_dtype": compute_dtype}), args, n_chips)
-        extra.update(fd)
-        # the headline is the SUSTAINED end-to-end rate on an on-disk
-        # corpus (device cache + K-step dispatches): what users get,
-        # including all host work — not a device-resident microbench
-        headline = fd["from_disk_utt_per_sec_per_chip"]
-        # re-derive arithmetic-efficiency numbers at the headline rate
-        fps = F.train_flops_per_utt(cfg.model, args.frames) * headline
-        extra["model_tflops_per_sec"] = round(fps / 1e12, 2)
-        m2 = F.mfu(fps, kind)
-        extra["mfu"] = round(m2, 4) if m2 is not None else None
-        # PRELIMINARY line: consumers read the LAST stdout line — if a
-        # harness timeout kills the slower extras below (rotating bench,
-        # per-preset matrix), the headline still lands
-        print(result_line(), flush=True)
+        fd_pair = section("from_disk", lambda: _bench_from_disk(
+            preset_config(args.preset).override(
+                {"model.compute_dtype": compute_dtype}), args, n_chips))
+        if fd_pair is not None:
+            fd, fd_ctx = fd_pair
+            extra.update(fd)
+            # the headline is the SUSTAINED end-to-end rate on an on-disk
+            # corpus (device cache + K-step dispatches): what users get,
+            # including all host work — not a device-resident microbench
+            headline = fd["from_disk_utt_per_sec_per_chip"]
+            # re-derive arithmetic-efficiency numbers at the headline rate
+            fps = F.train_flops_per_utt(cfg.model, args.frames) * headline
+            extra["model_tflops_per_sec"] = round(fps / 1e12, 2)
+            m2 = F.mfu(fps, kind)
+            extra["mfu"] = round(m2, 4) if m2 is not None else None
+            # PRELIMINARY line: consumers read the LAST stdout line — if a
+            # harness timeout kills the slower extras below (rotating
+            # bench, per-preset matrix), the headline still lands
+            print(result_line(), flush=True)
 
-        extra.update(_bench_rotating(fd_ctx, args, n_chips))
+            rot = section("rotating",
+                          lambda: _bench_rotating(fd_ctx, args, n_chips))
+            if rot is not None:
+                extra.update(rot)
 
     # per-preset matrix (VERDICT r1 missing #4: BENCH_r*.json must carry
-    # the flagship + conv presets, not just the headline preset)
+    # the flagship + conv + attention presets, not just the headline one)
     if args.backend == "tpu" and not args.no_presets:
         presets_extra = {args.preset: {
             "train_utt_per_sec": round(ups_per_chip, 1),
             "decode_utt_per_sec": round(decode_ups, 1),
             "mfu": round(mfu, 4) if mfu is not None else None}}
-        for pname in ("bigru", "bilstm_deep", "glu_conv", "conformer"):
+        for pname in ("bigru", "bilstm_deep", "glu_conv", "conformer",
+                      "conformer_stream"):
             if pname == args.preset:
                 continue
             pcfg = preset_config(pname).override({
                 "model.vocab_size": 64,
                 "model.compute_dtype": compute_dtype})
-            t_u, d_u, p_mfu, _, _, _, _ = bench_device_resident(
-                pcfg, build_model(pcfg.model))
-            presets_extra[pname] = {
-                "train_utt_per_sec": round(t_u, 1),
-                "decode_utt_per_sec": round(d_u, 1),
-                "mfu": round(p_mfu, 4) if p_mfu is not None else None}
+            r = section(
+                f"preset_{pname}",
+                lambda pcfg=pcfg: bench_device_resident(
+                    pcfg, build_model(pcfg.model)))
+            if r is not None:
+                presets_extra[pname] = {
+                    "train_utt_per_sec": round(r[0], 1),
+                    "decode_utt_per_sec": round(r[1], 1),
+                    "mfu": round(r[2], 4) if r[2] is not None else None}
         extra["presets"] = presets_extra
 
     # multi-GB rotating demonstration LAST (it is the slowest section —
@@ -683,11 +751,26 @@ def main(argv=None):
     if args.backend == "tpu" and not args.no_from_disk \
             and not args.no_csj_scale:
         print(result_line(), flush=True)
-        extra.update(_bench_csj_scale(args, n_chips, compute_dtype))
+        cs = section("csj_scale",
+                     lambda: _bench_csj_scale(args, n_chips, compute_dtype))
+        if cs is not None:
+            extra.update(cs)
 
     print(result_line())
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except SystemExit:
+        raise
+    except BaseException:  # last-ditch: the driver parses the LAST line —
+        import traceback   # even a crash outside every section must leave
+        tb = traceback.format_exc().strip().splitlines()  # valid JSON there
+        print(json.dumps({
+            "metric": "train_utterances_per_sec_per_chip", "value": 0.0,
+            "unit": "utt/s/chip", "vs_baseline": None,
+            "extra": {"errors": {"main": " | ".join(
+                ln.strip() for ln in tb[-3:])}}}))
+        sys.exit(1)

@@ -125,6 +125,19 @@ class ModelConfig:
     compute_dtype: str = C.COMPUTE_DTYPE
     remat_rnn: bool = False         # jax.checkpoint over each RNN layer scan
 
+    # enum-ish fields fail loudly on typos (FeatureConfig precedent —
+    # ADVICE r3: a misspelled impl would silently take the auto branch)
+    _ENUMS = {"attn_impl": ("auto", "einsum", "flash"),
+              "rnn_impl": ("auto", "scan", "pallas"),
+              "rnn_type": ("gru", "lstm", "none")}
+
+    def __post_init__(self):
+        for field, allowed in self._ENUMS.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"model.{field}={v!r}: expected one of {allowed}")
+
 
 @dataclass(frozen=True)
 class BucketConfig:
