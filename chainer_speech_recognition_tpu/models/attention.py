@@ -108,9 +108,12 @@ class _MHSA(nn.Module):
 
     ``impl``: "auto" routes the OFFLINE path through the Pallas flash
     kernel (ops/attention_pallas.py — no [B, h, T, T] HBM round trip) on
-    TPU when ``lengths`` are available, the einsum path otherwise;
-    "einsum"/"flash" force one. Streaming steps always use the einsum
-    path (per-chunk T is tiny; nothing quadratic to save).
+    TPU when ``lengths`` are available AND the shape clears the measured
+    crossover (``attention_pallas.supports``: long-form T > 512 — at the
+    bucket-menu lengths the einsum path measured faster, see the
+    supports() docstring); "einsum"/"flash" force one. Streaming steps
+    always use the einsum path (per-chunk T is tiny; nothing quadratic
+    to save).
     """
 
     heads: int

@@ -1,9 +1,10 @@
 """Flash self-attention as a Pallas TPU kernel with a custom VJP — the
-attention family's score/value einsums without the [B, h, T, T] HBM
-round trip (models/attention.py materializes fp32 scores AND bf16 probs
-per block; at the bench shape B64/T256/h4 that is ~100 MB of HBM traffic
-per block per direction, ~20% of the conformer step on a v5e relay, and
-it grows quadratically with the bucket's subsampled length).
+attention family's LONG-FORM path: the score/value einsums without the
+[B, h, T, T] HBM round trip. Measured round 4 (see ``supports``): the
+einsum path wins at the bucket-menu lengths (T' ≤ 512 — the quadratic
+tensors are small enough to ride XLA's fusion pipeline), this kernel
+wins +23% model-level at T' = 1024 where einsum's quadratic HBM
+materialization dominates; ``auto`` routes accordingly.
 
 Semantics are EXACTLY those of models/attention.py::_MHSA's offline
 einsum path (the always-available fallback and the differential oracle,
@@ -327,10 +328,17 @@ def _pad_t(T):
 
 
 def supports(T, dh):
-    """Shape gate for the auto path: the kernel handles any T via
-    padding; dh must be lane-tileable."""
-    del T
-    return dh % 64 == 0 and dh <= 512
+    """Shape gate for the auto path. dh must be lane-tileable, and the
+    MEASURED model-level crossover (round 4, TPU v5e, conformer train
+    step) picks the winner by sequence length: einsum wins at T' ≤ 256
+    (2,805 vs 2,293 utt/s — at short T the quadratic tensors ride XLA's
+    fusion pipeline while this kernel's grid serializes small
+    64-contraction matmuls on the one tensorcore), the two tie at
+    T' = 512 (718 vs 715), and flash wins at T' = 1024 (+23%: 449 vs
+    366 utt/s, step 35.6 vs 43.7 ms) where einsum's [B, h, T, T] HBM
+    materialization dominates. Auto therefore routes flash only for
+    long-form T > 512; ``impl="flash"`` still forces it anywhere."""
+    return dh % 64 == 0 and dh <= 512 and T > 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
