@@ -147,6 +147,7 @@ def test_conformer_preset_bakes_gentle_optimizer():
     assert cfg.optim.clip_norm == 1.0
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_chunk_causal_offline_prefix_property():
     """Chunk-causal attention (attn_chunk > 0) bounds the receptive field:
     logits up to a chunk boundary are identical whether or not audio
@@ -173,6 +174,7 @@ def test_chunk_causal_offline_prefix_property():
     assert prefix_gap(global_attn) > 1e-4
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_chunk_causal_padding_invariance():
     """The chunk-causal variant keeps the exact batched == per-utterance
     contract (padded keys masked, causal conv sees zeroed frames)."""

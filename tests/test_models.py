@@ -111,6 +111,7 @@ def test_unidirectional_shapes_and_causality():
                            np.asarray(logits2)[:, -1])
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_unidirectional_pallas_matches_scan():
     """Forward-only layers reuse the bidirectional Pallas kernel with the
     weight matrix duplicated across the kernel's two row halves — values

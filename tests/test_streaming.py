@@ -68,6 +68,7 @@ def test_conv_only_streaming_exact_multistream():
     assert rec.emitted == _offline_ids(model, cfg, params, pcm, ns)
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_conv_only_incremental_blocks_match_offline():
     """Single stream fed in ragged real-time blocks through ``accept``
     (eager draining) ends at exactly the offline transcription, and
@@ -130,6 +131,7 @@ def test_block_split_invariance():
     assert one == many
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_cmvn_off_streaming_exact():
     """CMVN disabled entirely is also a streamable configuration."""
     cfg, model, params = _setup("tiny_conv", cmvn=False, seed=7)
@@ -210,6 +212,7 @@ def test_decode_lockstep_partial_batch_order():
         assert got[i] == off, f"item {i}"
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_flush_shorter_than_drained_rejected():
     """Eager draining emits tokens from frames [0, t0); a later
     flush(num_samples) declaring FEWER frames than already emitted must
@@ -290,6 +293,7 @@ def test_streaming_beam_lm_fusion_matches_offline():
     assert rec.emitted == off
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_streaming_beam_finalized_is_stable_prefix():
     """Eagerly-drained beam streaming: every `accept` return extends the
     previous ones (finalized tokens are never retracted), their
@@ -354,6 +358,7 @@ def test_endpointing_segments_and_invariance():
     assert ends[0] < (len(sig1) + len(sil)) // 160
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_endpointing_beam_segments():
     """Endpointing composes with the streaming beam: per-row beam-state
     resets at boundaries, unfinalized 1-best tails land in the closing
@@ -437,6 +442,7 @@ def test_unidirectional_zero_lookahead_exact():
                                [ns[0]])[0]
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_unidirectional_streaming_beam_exact():
     """Zero-lookahead streaming BEAM on a forward-only model == offline
     beam: the full online stack (causal front-end, forward RNN carries,
@@ -542,6 +548,7 @@ def test_chunk_causal_attention_streaming_exact():
     assert rec.emitted == _offline_ids(model, cfg, params, pcm, ns)
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_chunk_causal_attention_block_split_invariance():
     """Eager ragged feeding reaches the same transcription — every
     attention carry (positions, validity counters, KV caches, conv
@@ -565,6 +572,7 @@ def test_chunk_causal_attention_block_split_invariance():
     assert one == _offline_ids(model, cfg, params, pcm[None], [n])[0]
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_chunk_causal_attention_streaming_beam_exact():
     """Streaming BEAM on the chunk-causal conformer == offline beam (the
     online attention stack composes with the carried beam state)."""
@@ -580,6 +588,7 @@ def test_chunk_causal_attention_streaming_beam_exact():
                                             beam=4)
 
 
+@pytest.mark.slow   # compile-heavy on 1-core CI; fast rep of this contract stays unmarked
 def test_chunk_causal_attention_endpointing():
     """Endpointing on the attention family: the reset advances the
     per-row attention segment boundary (pre-boundary KV cache becomes
