@@ -138,3 +138,17 @@ def test_conformer_block_flash_equals_einsum():
     ye = blk_e.apply(params, x, lens)
     yf = blk_f.apply(params, x, lens)
     np.testing.assert_allclose(yf, ye, rtol=3e-5, atol=3e-5)
+
+
+def test_auto_policy_crossover_gate():
+    """supports() encodes the MEASURED model-level crossover (BASELINE.md
+    round 4): einsum at bucket-menu lengths, flash only for long-form
+    T > 512. A silent gate change re-routes every conformer compile, so
+    pin it."""
+    from chainer_speech_recognition_tpu.ops.attention_pallas import supports
+    assert not supports(256, 64)      # bench bucket: einsum wins (2805>2293)
+    assert not supports(512, 64)      # tie measured: stay on einsum
+    assert supports(1024, 64)         # long-form: flash wins +23%
+    assert supports(2048, 128)
+    assert not supports(1024, 96)     # dh must be lane-tileable
+    assert not supports(1024, 1024)   # dh beyond VMEM plan
