@@ -332,6 +332,9 @@ def main(argv=None):
     p.add_argument("--steps-per-dispatch", type=int, default=8)
     p.add_argument("--disk-stream-steps", type=int, default=6)
     p.add_argument("--disk-workdir", default="/tmp/csr_bench_corpus")
+    p.add_argument("--no-longform", action="store_true",
+                   help="skip the long-form (T'=1024) flash-vs-einsum "
+                        "attention measurement")
     p.add_argument("--inject-error", default=None, metavar="SECTION",
                    help="testing hook: raise inside the named section to "
                         "exercise the crash isolation (tests/test_bench_"
@@ -670,6 +673,53 @@ def main(argv=None):
                         lambda: bench_streaming(decoder="beam"))
             if r is not None:
                 extra["stream_beam_lm_rt_factor_16"] = round(r, 1)
+        # long-form attention: the flash kernel's measured win lives at
+        # T' = 1024 (frames 4096), beyond the bucket menu — record both
+        # impls so the auto-policy crossover (ops/attention_pallas.supports)
+        # stays evidence-backed in the driver JSON
+        if not args.no_longform:
+            def _longform(impl):
+                lf_frames, lf_B, lf_steps = 4096, 16, 6
+                lcfg = preset_config("conformer").override({
+                    "model.vocab_size": 64,
+                    "model.compute_dtype": compute_dtype,
+                    "model.attn_impl": impl,
+                    "buckets.boundaries": [lf_frames],
+                    "buckets.batch_sizes": [lf_B]})
+                lmodel = build_model(lcfg.model)
+                lrng = np.random.default_rng(0)
+                lmax = (lf_frames - 1) * C.HOP_LENGTH
+                lb = make_batch(lrng, batch_size=lf_B, vocab_size=64,
+                                min_len=8, max_len=24, tone_len=lmax // 24,
+                                max_label_len=32)
+                lsig = np.zeros((lf_B, lmax), np.float32)
+                ln = min(lb["signals"].shape[1], lmax)
+                lsig[:, :ln] = lb["signals"][:, :ln]
+                lb = {"signals": lsig,
+                      "num_samples": np.minimum(lb["num_samples"], lmax),
+                      "labels": lb["labels"],
+                      "label_lengths": lb["label_lengths"]}
+                lf, ll = batch_features(jnp.asarray(lb["signals"][:1]),
+                                        jnp.asarray(lb["num_samples"][:1]))
+                lst = init_state(lmodel, lcfg.optim, jax.random.key(0),
+                                 lf, ll)
+                lstep = make_train_step(lmodel, lcfg, mesh)
+                lsh = shard_batch(mesh, lb)
+                lst, lm_ = lstep(lst, lsh); _ = float(lm_["loss"])
+                lst, lm_ = lstep(lst, lsh); _ = float(lm_["loss"])
+                t0 = time.perf_counter()
+                for _ in range(lf_steps):
+                    lst, lm_ = lstep(lst, lsh)
+                _ = float(lm_["loss"])
+                return lf_B * lf_steps / (time.perf_counter() - t0) / n_chips
+            r = section("attn_longform_flash", lambda: _longform("flash"))
+            if r is not None:
+                extra["conformer_longform_t1024_flash_utt_per_sec"] = \
+                    round(r, 1)
+            r = section("attn_longform_einsum", lambda: _longform("einsum"))
+            if r is not None:
+                extra["conformer_longform_t1024_einsum_utt_per_sec"] = \
+                    round(r, 1)
         # chunk-causal attention serving figures (VERDICT r3 next #4):
         # the streaming attention family's RT factor, greedy and beam+LM
         if args.preset != "conformer_stream":
