@@ -68,10 +68,45 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     return os.path.join(ckpt_dir, ckpts[-1]) if ckpts else None
 
 
+def _migrate_state_dict(state, target):
+    """Forward-migrate old checkpoint layouts into the current pytree.
+
+    Round-4 MHSA fusion: separate ``q``/``k``/``v`` projections became one
+    ``qkv`` Dense (kernel [d, 3d] = concat of the three [d, d] kernels on
+    the output axis, matching the fused layer's ``[..., :d]`` /
+    ``[..., d:2d]`` / ``[..., 2d:]`` slicing; bias likewise). The rule
+    applies anywhere in the tree, so optimizer moments (adam mu/nu mirror
+    the param structure) migrate too. Unknown mismatches are left intact
+    so ``from_state_dict`` still fails loudly on genuine corruption."""
+    import numpy as np
+
+    if not isinstance(target, dict) or not isinstance(state, dict):
+        return state
+    out = dict(state)
+    if "qkv" in target and "qkv" not in state \
+            and all(k in state for k in ("q", "k", "v")):
+        q, k, v = out.pop("q"), out.pop("k"), out.pop("v")
+        out["qkv"] = {
+            leaf: np.concatenate(
+                [np.asarray(q[leaf]), np.asarray(k[leaf]),
+                 np.asarray(v[leaf])],
+                axis=1 if np.asarray(q[leaf]).ndim == 2 else 0)
+            for leaf in q}
+    return {key: (_migrate_state_dict(val, target[key])
+                  if key in target else val)
+            for key, val in out.items()}
+
+
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore into a freshly-initialized template state (defines the pytree)."""
+    """Restore into a freshly-initialized template state (defines the pytree).
+
+    Old param layouts are migrated forward (``_migrate_state_dict``), so
+    checkpoints trained before a compatible refactor keep loading."""
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        raw = flax.serialization.msgpack_restore(f.read())
+    raw = _migrate_state_dict(
+        raw, flax.serialization.to_state_dict(template))
+    return flax.serialization.from_state_dict(template, raw)
 
 
 def load_config(ckpt_dir: str) -> Config:

@@ -148,3 +148,39 @@ def test_keep_zero_rejected(tmp_path):
     cfg, model, state, _ = _setup(tmp_path)
     with pytest.raises(ValueError, match="keep"):
         save_checkpoint(cfg.train.checkpoint_dir, state, cfg, keep=0)
+
+
+def test_qkv_migration_restores_old_mhsa_layout():
+    """Checkpoints written before the round-4 QKV fusion (separate q/k/v
+    Dense params) must keep loading: the loader concatenates them into
+    the fused qkv layout — exactly matching the fused layer's slicing —
+    anywhere in the tree (params AND optimizer moments)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax.serialization import from_state_dict, to_state_dict
+
+    from chainer_speech_recognition_tpu.models.attention import _MHSA
+    from chainer_speech_recognition_tpu.train.checkpoint import (
+        _migrate_state_dict)
+
+    B, T, d, h = 2, 8, 8, 2
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T, d)),
+                    jnp.float32)
+    lens = jnp.asarray([8, 5])
+    mask = (jnp.arange(T)[None, :] < lens[:, None])
+    m = _MHSA(heads=h, dtype=jnp.float32, impl="einsum")
+    params = m.init(jax.random.key(0), x, mask, lengths=lens)
+    want = m.apply(params, x, mask, lengths=lens)
+
+    # fabricate the OLD layout: split the fused kernel/bias back into q/k/v
+    sd = to_state_dict(params)
+    fused = sd["params"].pop("qkv")
+    for i, name in enumerate(("q", "k", "v")):
+        sd["params"][name] = {
+            "kernel": np.asarray(fused["kernel"][:, i * d:(i + 1) * d]),
+            "bias": np.asarray(fused["bias"][i * d:(i + 1) * d])}
+    migrated = _migrate_state_dict(sd, to_state_dict(params))
+    restored = from_state_dict(params, migrated)
+    got = m.apply(restored, x, mask, lengths=lens)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
