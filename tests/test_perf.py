@@ -87,7 +87,7 @@ def _bench_batch(B=64, frames=1024, vocab=64):
 
 
 @pytest.mark.parametrize("preset", ["bigru", "bilstm_deep", "glu_conv",
-                                    "conformer"])
+                                    "conformer", "conformer_stream"])
 def test_preset_train_throughput(preset):
     from chainer_speech_recognition_tpu.config import preset_config
     from chainer_speech_recognition_tpu.frontend.jnp_frontend import (
