@@ -399,20 +399,24 @@ def main(argv=None):
     model = build_model(cfg.model)
     mesh = make_mesh(cfg.parallel)
 
-    # synthetic bucket batch: utterances 60-100% of the bucket's max frames
-    rng = np.random.default_rng(0)
-    max_samples = (args.frames - 1) * C.HOP_LENGTH
+    def make_bucket_batch(Bn, frames):
+        """Synthetic bucket batch: utterances 60-100% of the bucket's max
+        frames, zero-padded to the static shape. ONE copy of the recipe —
+        the long-form section measures on the identical convention."""
+        brng = np.random.default_rng(0)
+        ms = (frames - 1) * C.HOP_LENGTH
+        bb = make_batch(brng, batch_size=Bn, vocab_size=64, min_len=8,
+                        max_len=24, tone_len=ms // 24, max_label_len=32)
+        bsig = np.zeros((Bn, ms), np.float32)
+        bn = min(bb["signals"].shape[1], ms)
+        bsig[:, :bn] = bb["signals"][:, :bn]
+        return {"signals": bsig,
+                "num_samples": np.minimum(bb["num_samples"], ms),
+                "labels": bb["labels"],
+                "label_lengths": bb["label_lengths"]}
+
     B = args.batch
-    batch = make_batch(rng, batch_size=B, vocab_size=64, min_len=8,
-                       max_len=24, tone_len=max_samples // 24,
-                       max_label_len=32)
-    sig = np.zeros((B, max_samples), np.float32)
-    n = min(batch["signals"].shape[1], max_samples)
-    sig[:, :n] = batch["signals"][:, :n]
-    batch = {"signals": sig,
-             "num_samples": np.minimum(batch["num_samples"], max_samples),
-             "labels": batch["labels"],
-             "label_lengths": batch["label_lengths"]}
+    batch = make_bucket_batch(B, args.frames)
 
     # Timing methodology: on relay-attached TPUs block_until_ready can
     # return before execution finishes; reading a host scalar (float()) is
@@ -651,7 +655,24 @@ def main(argv=None):
     else:
         baseline = CPU_BASELINE_UPS.get((args.preset, B, args.frames))
 
+    headline = ups_per_chip
+
+    def result_line():
+        return json.dumps({
+            "metric": "train_utterances_per_sec_per_chip",
+            "value": round(headline, 3),
+            "unit": "utt/s/chip",
+            "vs_baseline": (round(headline / baseline, 2)
+                            if baseline else None),
+            "extra": extra,
+        })
+
     if args.backend == "tpu":
+        # FIRST preliminary line as soon as the headline microbench is in:
+        # consumers read the LAST stdout line, and every section below is
+        # minutes of compiles — a harness timeout anywhere past this point
+        # must still find a parseable record
+        print(result_line(), flush=True)
         be = section("beam_e2e", lambda: bench_beam_e2e(cfg, model))
         if be is not None:
             extra["beam_e2e_utt_per_sec"] = round(be[0], 1)
@@ -687,18 +708,7 @@ def main(argv=None):
                     "buckets.boundaries": [lf_frames],
                     "buckets.batch_sizes": [lf_B]})
                 lmodel = build_model(lcfg.model)
-                lrng = np.random.default_rng(0)
-                lmax = (lf_frames - 1) * C.HOP_LENGTH
-                lb = make_batch(lrng, batch_size=lf_B, vocab_size=64,
-                                min_len=8, max_len=24, tone_len=lmax // 24,
-                                max_label_len=32)
-                lsig = np.zeros((lf_B, lmax), np.float32)
-                ln = min(lb["signals"].shape[1], lmax)
-                lsig[:, :ln] = lb["signals"][:, :ln]
-                lb = {"signals": lsig,
-                      "num_samples": np.minimum(lb["num_samples"], lmax),
-                      "labels": lb["labels"],
-                      "label_lengths": lb["label_lengths"]}
+                lb = make_bucket_batch(lf_B, lf_frames)
                 lf, ll = batch_features(jnp.asarray(lb["signals"][:1]),
                                         jnp.asarray(lb["num_samples"][:1]))
                 lst = init_state(lmodel, lcfg.optim, jax.random.key(0),
@@ -732,17 +742,6 @@ def main(argv=None):
                                                 decoder="beam"))
             if r is not None:
                 extra["conformer_stream_beam_lm_rt_factor_16"] = round(r, 1)
-    headline = ups_per_chip
-
-    def result_line():
-        return json.dumps({
-            "metric": "train_utterances_per_sec_per_chip",
-            "value": round(headline, 3),
-            "unit": "utt/s/chip",
-            "vs_baseline": (round(headline / baseline, 2)
-                            if baseline else None),
-            "extra": extra,
-        })
 
     if not args.no_from_disk and args.backend == "tpu":
         fd_pair = section("from_disk", lambda: _bench_from_disk(
@@ -773,10 +772,15 @@ def main(argv=None):
     # per-preset matrix (VERDICT r1 missing #4: BENCH_r*.json must carry
     # the flagship + conv + attention presets, not just the headline one)
     if args.backend == "tpu" and not args.no_presets:
-        presets_extra = {args.preset: {
-            "train_utt_per_sec": round(ups_per_chip, 1),
-            "decode_utt_per_sec": round(decode_ups, 1),
-            "mfu": round(mfu, 4) if mfu is not None else None}}
+        # the headline preset's row only exists if its section actually
+        # measured — a 0.0 placeholder would be indistinguishable from a
+        # real data point in the driver record
+        presets_extra = {}
+        if dr is not None:
+            presets_extra[args.preset] = {
+                "train_utt_per_sec": round(ups_per_chip, 1),
+                "decode_utt_per_sec": round(decode_ups, 1),
+                "mfu": round(mfu, 4) if mfu is not None else None}
         for pname in ("bigru", "bilstm_deep", "glu_conv", "conformer",
                       "conformer_stream"):
             if pname == args.preset:

@@ -41,7 +41,9 @@ for a query block spans at most ``left_chunks + 1`` chunks plus the
 block's own span, so most (i, j) grid cells are fully masked at large T.
 All three kernels wrap their compute in ``pl.when(not skipped)`` —
 skipped cells cost a block fetch but zero MXU passes (with chunk=16/
-left=2 at T=1024 that skips ~75% of cells).
+left=2 at the actual block geometry: 3 of 8 grid cells at T=1024
+(bq=256, bk=512), ~60% at T=2048, approaching 1 − O(1)/n_k as T
+grows).
 
 Numerics vs the einsum oracle: identical masking constant, identical
 matmul precision classes; the only difference is online-softmax
