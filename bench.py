@@ -817,9 +817,13 @@ def main(argv=None):
 if __name__ == "__main__":
     try:
         sys.exit(main())
-    except SystemExit:
+    except (SystemExit, KeyboardInterrupt):
+        # ADVICE r4: a Ctrl-C / exit must NOT be rewritten into a fake
+        # 0.0 "measurement" as the last stdout line (the driver parses
+        # exactly that line); an abort propagates untouched — any earlier
+        # PRELIMINARY result line remains the record
         raise
-    except BaseException:  # last-ditch: the driver parses the LAST line —
+    except Exception:      # last-ditch: the driver parses the LAST line —
         import traceback   # even a crash outside every section must leave
         tb = traceback.format_exc().strip().splitlines()  # valid JSON there
         print(json.dumps({

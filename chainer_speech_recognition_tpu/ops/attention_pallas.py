@@ -72,9 +72,11 @@ _NEG = -1e30  # same masking constant as models/attention.py
 
 
 def _interp() -> bool:
-    # ctc_pallas convention: interpret only on the CPU backend; any other
-    # backend attempts a real lowering (callers gate flash to TPU).
-    return jax.default_backend() == "cpu"
+    # Interpret on ANY non-TPU backend (ADVICE r4): the Mosaic lowering
+    # exists only for TPU — a forced impl="flash" on a GPU backend must
+    # run via the interpreter, not crash in the TPU compiler. (The axon
+    # relay still reports default_backend() == "tpu".)
+    return jax.default_backend() != "tpu"
 
 
 def _positions(i, j, bq, bk):

@@ -79,6 +79,41 @@ def test_flash_matches_einsum_grads(case):
                                    err_msg=f"d{name} T={T}")
 
 
+@pytest.mark.slow
+def test_chunk_block_skip_values_and_grads():
+    """ADVICE r4 (medium): the chunk-causal block-skip path (`pl.when`
+    around `_body` in all three kernels) must be exercised where
+    `_skip_block` is actually True for some grid cells — T=1024 with
+    chunk=16/left=2 gives bq=256/bk=512 and skips the j=1 key block for
+    i=0 (and j=0 for i=3) in the forward, plus the transposed cells in
+    the dK/dV kernel. Values AND grads vs the einsum oracle."""
+    from chainer_speech_recognition_tpu.ops.attention_pallas import (
+        _blocks, _skip_block)
+    T, chunk, left = 1024, 16, 2
+    bq, bk = _blocks(T)
+    skips = [(i, j) for i in range(T // bq) for j in range(T // bk)
+             if _skip_block(i, j, bq, bk, chunk, left)]
+    assert skips, "geometry regression: no grid cell skips at T=1024"
+    q, k, v, lens = _mk(1, T, 1, 64, seed=13)
+    w = jax.random.normal(jax.random.PRNGKey(14), q.shape, q.dtype)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v, lens, chunk=chunk, left_chunks=left)
+            return jnp.sum(_masked(out, lens) * w)
+        return f
+
+    got = flash_mhsa(q, k, v, lens, chunk=chunk, left_chunks=left)
+    want = reference_mhsa(q, k, v, lens, chunk=chunk, left_chunks=left)
+    np.testing.assert_allclose(_masked(got, lens), _masked(want, lens),
+                               rtol=2e-5, atol=2e-5)
+    g_got = jax.grad(loss(flash_mhsa), argnums=(0, 1, 2))(q, k, v)
+    g_want = jax.grad(loss(reference_mhsa), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_got, g_want, "qkv"):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4,
+                                   err_msg=f"d{name} block-skip")
+
+
 def test_flash_bf16_close_to_fp32_oracle():
     """bf16 production dtype: the kernel's fp32-softmax/bf16-matmul mix
     must sit within bf16 noise of the fp32 oracle (same classes as the

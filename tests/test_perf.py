@@ -47,10 +47,24 @@ def _dispatch_check(name, value):
     asserts only the sanity bar (total-breakage detector — e.g. streaming
     must still beat real time) and REPORTS the measurement against the
     recorded rate; kernel regressions on these paths are caught by the
-    compute-bound kernel floors (beam_k8 ms, birnn slopes, greedy ms)."""
+    compute-bound kernel floors (beam_k8 ms, birnn slopes, greedy ms).
+
+    Every measurement is additionally APPENDED to ``perf_trend.jsonl``
+    at the repo root (ADVICE r4): relaxing the hard floor must not make
+    these rates invisible — the artifact keeps a timestamped history so
+    a genuine multi-x regression shows up as a trend, not relay noise."""
     rec = FLOOR["recorded_dispatch_bound"][name]
     print(f"\n[dispatch-bound] {name}: measured {value:.1f} "
           f"(recorded {rec['recorded']}, sanity bar {rec['sanity']})")
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "perf_trend.jsonl"), "a") as fh:
+            fh.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "name": name, "measured": round(value, 1),
+                "recorded": rec["recorded"]}) + "\n")
+    except OSError:
+        pass                     # read-only checkout: report-only mode
     assert value >= rec["sanity"], (
         f"{name}: {value:.1f} below the SANITY bar {rec['sanity']} — this "
         f"is total breakage, not relay noise (recorded {rec['recorded']})")

@@ -141,12 +141,19 @@ def test_greedy_decode():
     np.testing.assert_array_equal(np.asarray(ip), np.asarray(ij))
 
 
-@pytest.mark.parametrize("chunk,left", [(0, 0), (16, 2)])
-def test_attention_fwd_bwd(chunk, left):
+@pytest.mark.parametrize("B,T,chunk,left", [
+    (64, 256, 0, 0),
+    (64, 256, 16, 2),
+    # multi-key-block geometry (ADVICE r4): T=1024 → bq=256/bk=512, so
+    # _skip_block is True for some grid cells — the pl.when skip path
+    # must lower and run on the chip, not only in interpret mode
+    (8, 1024, 16, 2),
+])
+def test_attention_fwd_bwd(B, T, chunk, left):
     from chainer_speech_recognition_tpu.ops.attention_pallas import (
         flash_mhsa, reference_mhsa)
     rng = np.random.default_rng(5)
-    B, T, h, dh = 64, 256, 4, 64                # production shape
+    h, dh = 4, 64                               # production shape
     q, k, v = (jnp.asarray(rng.standard_normal((B, T, h, dh))
                            .astype(np.float32)) for _ in range(3))
     lens = jnp.asarray(rng.integers(1, T + 1, B).astype(np.int32))
