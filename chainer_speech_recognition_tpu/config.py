@@ -119,6 +119,12 @@ class ModelConfig:
     attn_impl: str = "auto"         # "auto" | "einsum" | "flash": auto =
                                     # Pallas flash attention on TPU for
                                     # offline calls (ops/attention_pallas.py)
+    attn_residual_dtype: str = "float32"
+                                    # conformer residual-stream storage:
+                                    # "bfloat16" halves the stream's HBM
+                                    # traffic (LN statistics stay fp32 —
+                                    # models/attention.py); quality +
+                                    # MFU measured in BASELINE.md (r5)
     rnn_impl: str = "auto"          # "auto" | "scan" | "pallas" (models/rnn.py)
     proj_dim: int = 0               # 0 = straight to vocab
     vocab_size: int = 64            # symbols INCLUDING blank (class 0)
@@ -128,6 +134,7 @@ class ModelConfig:
     # enum-ish fields fail loudly on typos (FeatureConfig precedent —
     # ADVICE r3: a misspelled impl would silently take the auto branch)
     _ENUMS = {"attn_impl": ("auto", "einsum", "flash"),
+              "attn_residual_dtype": ("float32", "bfloat16"),
               "rnn_impl": ("auto", "scan", "pallas"),
               "rnn_type": ("gru", "lstm", "none")}
 

@@ -13,8 +13,10 @@ Three representations:
 * device sparse (``to_hashed`` → HashedLM): open-addressing context hash
   + backoff-resolved score rows, sized by the n-grams the LM actually
   contains — the scalable path for order ≥ 4 / larger V (VERDICT r2
-  next #5). Same int32 rolled context id, same scores (differentially
-  tested), ~MBs instead of GBs.
+  next #5). Keyed by a double window hash over the hypothesis's last
+  (order-1) chars (``ctx_keys`` — exact numeric id while V^k < 2^31,
+  wrap-hash beyond, so BPE-scale vocabs at order 4 work), same scores
+  (differentially tested), ~MBs instead of GBs.
 
 Sentence-boundary conventions: contexts are char tuples over vocab ids;
 id 0 (<blank>) doubles as the begin-of-sentence context entry (blank never
@@ -31,6 +33,43 @@ import numpy as np
 from ..vocab import Vocab
 
 LOG10 = math.log(10.0)
+
+# Context-window hash pair (round 5, VERDICT r4 next #1): the beam carries
+# each hypothesis's last (order-1) chars and derives one key PAIR per
+# backoff level k from the k-char window:
+#   key1 = fold h·V + c      in WRAPPING int32 (for V^k < 2^31 this equals
+#                            the exact numeric context id — the scheme the
+#                            rounds-2..4 design used — and beyond it it
+#                            degrades into a hash);
+#   key2 = fold (h·MULT2 + c) mod MOD2   (independent verifier).
+# Leading BOS zeros are identity under both folds (0·m + 0 = 0), so a
+# partial context's window keys equal the shorter context's keys — the
+# same semantic-identity-by-construction the numeric-id scheme had. A
+# simultaneous collision of both keys is ~2⁻⁶⁰-rare (decode/beam.py's
+# double-rolling-hash precedent); the build detects and drops the
+# (astronomically unlikely) offender. This removes the V^order < 2^31
+# bound that made order-4 fusion impossible at BPE vocab scale
+# (2048⁴ ≫ 2³¹ — caught by the round-5 large-vocab bench).
+_CTX_MULT2 = 754_877
+_CTX_MOD2 = 2**30 - 173
+
+
+def _wrap32(x: int) -> int:
+    """Two's-complement int32 wrap (matches jnp.int32 arithmetic)."""
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def ctx_keys(ctx: tuple, V: int) -> tuple[int, int]:
+    """(key1, key2) for a context char-tuple — host replica of the
+    device fold (oldest char first; the key2 product WRAPS in int32
+    before the modulus, exactly like the device's jnp.int32 arithmetic
+    — decode/beam.py's prefix-hash idiom)."""
+    h1 = h2 = 0
+    for c in ctx:
+        h1 = _wrap32(h1 * V + int(c))
+        h2 = _wrap32(h2 * _CTX_MULT2 + int(c)) % _CTX_MOD2
+    return h1, h2
 
 
 class NGramLM:
@@ -244,7 +283,8 @@ class NGramLM:
 
     # ---------------- sparse device tensorization ----------------
     def to_hashed(self, max_order: int | None = None,
-                  max_probes: int = 8) -> "HashedLM":
+                  max_probes: int = 8,
+                  rows_dtype=np.float32) -> "HashedLM":
         """→ HashedLM: the scalable device representation (VERDICT r2
         next #5).
 
@@ -256,9 +296,12 @@ class NGramLM:
           KNOWN context (a context with explicit probs or a backoff
           weight, at any level), rows[0] = the empty-context row. R
           scales with the n-grams the LM actually contains, not V^(n-1).
-        * ``table`` [cap, 2] int32 — open-addressing (linear probe) hash
-          from the context's NUMERIC id (Σ ctx[i]·V^(k-1-i), oldest char
-          highest stride — exactly the id the beam rolls) to its row.
+        * ``table`` [cap, 3] int32 — open-addressing (linear probe) hash
+          from the context's double window-hash KEY PAIR (``ctx_keys``:
+          key1 = the wrapping-int32 positional fold, which IS the exact
+          numeric id while V^k < 2^31; key2 = an independent verifier)
+          to its row. The beam recomputes the same pair per backoff
+          level from its carried last-(order-1)-chars window.
 
         Exactness: for a known context, rows[ctx][ch] == score(ctx, ch)
         by construction. For an UNKNOWN context, score() descends through
@@ -266,14 +309,23 @@ class NGramLM:
         resolved row EQUALS the longest known suffix's row — which is
         what the device probe (longest-suffix-first, levels n-1..1, then
         rows[0]) returns. A BOS-partial context (fewer than n-1 chars so
-        far) has leading zero digits, making its numeric id equal the
-        shorter context's id — the hash key collision IS the semantic
-        identity, so one level-untagged table suffices.
+        far) has leading zero digits, which are identity under both key
+        folds — the key equality IS the semantic identity, so one
+        level-untagged table suffices.
 
         Build guarantees every key is found within ``max_probes`` slots
         (capacity doubles until the max displacement fits), so the device
-        probe loop is a static unroll. Requires V^order < 2^31 (same
-        int32 context-rolling bound as the dense path).
+        probe loop is a static unroll. NO V^order bound: beyond int32
+        range key1 degrades from exact id to hash, and the double pair
+        keeps false hits ~2⁻⁶⁰-rare (detected and dropped at build).
+
+        ``rows_dtype``: storage dtype of the [R, V] score rows. At
+        CSJ/BPE vocab scale the rows dominate device residency (120k
+        contexts × V=4096 fp32 = 1.9 GB — VERDICT r4 next #1);
+        ``np.float16`` halves that at ~2⁻¹¹ RELATIVE log-prob error
+        (10 mantissa bits; ≤1e-2 absolute on scores spanning [-20, 0]),
+        far below any beam-reordering threshold the fuzz suite can
+        detect. The beam casts gathered rows back to fp32.
         """
         n = min(self.order, max_order or self.order)
         if n < 2:
@@ -284,9 +336,6 @@ class NGramLM:
                 "HashedLM requires order >= 2; use to_dense() (the order-1 "
                 "dense table is a single [1, V] row)")
         V = self.V
-        if V ** n >= 2 ** 31:
-            raise ValueError(
-                f"V^order = {V}^{n} overflows int32 context rolling")
         # resolved row for the empty context: uniform floor + unigrams
         r0 = np.full((V,), math.log(1.0 / V), np.float32)
         for ch, lp in self.logp[0].get((), {}).items():
@@ -315,26 +364,43 @@ class NGramLM:
                 rows.append(row)
         rows_arr = np.stack(rows)
         rows_arr[:, 0] = 0.0     # blank: no LM cost (CTC blank ≠ a word)
-        # numeric ids; leading-zero equivalence can't collide: context
-        # digits are real vocab ids (≥ 1), so distinct tuples map to
-        # distinct ids
-        ids = np.asarray(
-            [sum(c * V ** (len(ctx) - 1 - i) for i, c in enumerate(ctx))
-             for ctx in rowmap], np.int64)
-        ridx = np.asarray(list(rowmap.values()), np.int32)
-        keep = ids > 0           # () probes nothing; id 0 IS rows[0]
-        ids, ridx = ids[keep], ridx[keep]
-        cap = 1 << max(4, int(np.ceil(np.log2(max(2 * len(ids), 2)))))
+        # double window-hash keys (module-level ``ctx_keys``); a real
+        # context whose pair is (0, 0) — indistinguishable from the
+        # BOS/empty window — or a pair collision between two stored
+        # contexts is ~2⁻⁶⁰-rare: detected here and the later context
+        # dropped (its lookups fall back to the longest known suffix,
+        # exactly score()'s behavior one level early)
+        keys: list[tuple[int, int]] = []
+        ridx: list[int] = []
+        seen: dict[tuple[int, int], tuple] = {}
+        dropped = 0
+        for ctx, r in rowmap.items():
+            if not ctx:
+                continue         # () probes nothing; it IS rows[0]
+            kp = ctx_keys(ctx, V)
+            if kp == (0, 0) or kp in seen:
+                dropped += 1
+                continue
+            seen[kp] = ctx
+            keys.append(kp)
+            ridx.append(r)
+        if dropped:
+            import sys
+            print(f"warning: to_hashed dropped {dropped} context(s) on "
+                  "a window-hash collision (~2^-60-rare)", file=sys.stderr)
+        cap = 1 << max(4, int(np.ceil(np.log2(max(2 * len(keys), 2)))))
         while True:
-            table = np.full((cap, 2), -1, np.int32)
+            table = np.full((cap, 3), -1, np.int32)
+            table[:, 0] = 0      # empty slots can never match a kept key
+            table[:, 1] = -1
             ok = True
-            for key, r in zip(ids, ridx):
+            for (k1, k2), r in zip(keys, ridx):
                 # == uint32-wraparound hash & (cap-1): cap divides 2^32
-                slot = int(key) * 2654435761 % cap
+                slot = (k1 & 0xFFFFFFFF) * 2654435761 % cap
                 for p in range(max_probes):
                     s = (slot + p) % cap
-                    if table[s, 0] == -1:
-                        table[s] = (key, r)
+                    if table[s, 2] == -1:
+                        table[s] = (k1, k2, r)
                         break
                 else:
                     ok = False
@@ -342,17 +408,22 @@ class NGramLM:
             if ok:
                 break
             cap *= 2
-        return HashedLM(table=table, rows=rows_arr, order=n,
-                        max_probes=max_probes)
+        return HashedLM(table=table, rows=rows_arr.astype(rows_dtype),
+                        order=n, max_probes=max_probes)
 
 
 def device_lm(lm: NGramLM, repr: str = "auto",
-              dense_budget_bytes: int = 256 << 20):
+              dense_budget_bytes: int = 256 << 20,
+              hashed_rows_budget_bytes: int = 512 << 20):
     """Pick the device representation for shallow fusion.
 
     ``auto`` uses the dense [V^(n-1), V] table while it fits the budget
     (a single gather per step — fastest) and falls back to the sparse
-    HashedLM beyond it (order ≥ 4 / large V, where dense is GBs). The
+    HashedLM beyond it (order ≥ 4 / large V, where dense is GBs). If
+    the HashedLM's fp32 score rows would exceed
+    ``hashed_rows_budget_bytes`` (CSJ/BPE vocab scale: 120k contexts ×
+    V=4096 = 1.9 GB), they are stored fp16 — halving residency at
+    ~2⁻¹¹ relative log-prob error (``to_hashed`` docstring). The
     returned object plugs straight into beam_decode's ``lm=``.
     """
     if repr not in ("dense", "hashed", "auto"):
@@ -363,12 +434,15 @@ def device_lm(lm: NGramLM, repr: str = "auto",
         return lm.to_dense()
     if repr == "dense":
         return lm.to_dense()
-    if repr == "hashed":
-        return lm.to_hashed()
-    dense_bytes = lm.V ** (lm.order - 1) * lm.V * 4
-    if dense_bytes <= dense_budget_bytes:
-        return lm.to_dense()
-    return lm.to_hashed()
+    if repr != "hashed":
+        dense_bytes = lm.V ** (lm.order - 1) * lm.V * 4
+        if dense_bytes <= dense_budget_bytes:
+            return lm.to_dense()
+    h = lm.to_hashed()
+    if h.rows.nbytes > hashed_rows_budget_bytes:
+        h = HashedLM(table=h.table, rows=h.rows.astype(np.float16),
+                     order=h.order, max_probes=h.max_probes)
+    return h
 
 
 class HashedLM:

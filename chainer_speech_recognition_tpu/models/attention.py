@@ -266,6 +266,13 @@ class ConformerBlock(nn.Module):
     chunk: int = 0
     left_chunks: int = 0
     impl: str = "auto"                 # "auto" | "einsum" | "flash"
+    residual_dtype: jnp.dtype = jnp.float32
+                                       # bf16 halves the residual stream's
+                                       # HBM traffic (the 4 LN reads + 4
+                                       # adds per block are bandwidth-
+                                       # bound); LN statistics ALWAYS
+                                       # compute fp32 (nn.LayerNorm
+                                       # dtype=fp32 upcasts its input)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray, carries=None,
@@ -273,14 +280,15 @@ class ConformerBlock(nn.Module):
                  pos0: jnp.ndarray | None = None):
         stream = carries is not None
         mask = time_mask(x.shape[1], lengths)                    # [B, T]
-        x = x.astype(jnp.float32)
+        rdt = self.residual_dtype
+        x = x.astype(rdt)
         ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
 
         def pre(name, xx):                  # pre-norm, bf16 for the matmuls
             return ln(name)(xx).astype(self.dtype)
 
-        x = x + 0.5 * _FFN(self.ff_mult, self.dtype, name="ffn1")(
-            pre("ln_ffn1", x)).astype(jnp.float32)
+        x = x + (0.5 * _FFN(self.ff_mult, self.dtype, name="ffn1")(
+            pre("ln_ffn1", x)).astype(jnp.float32)).astype(rdt)
         mhsa = _MHSA(self.heads, self.dtype, chunk=self.chunk,
                      left_chunks=self.left_chunks, impl=self.impl,
                      name="mhsa")
@@ -290,17 +298,17 @@ class ConformerBlock(nn.Module):
                                cache_mask=cache_mask, pos0=pos0)
         else:
             att = mhsa(pre("ln_mhsa", x), mask, pos0=pos0, lengths=lengths)
-        x = x + att.astype(jnp.float32)
+        x = x + att.astype(rdt)
         conv = _ConvModule(self.conv_kernel, self.dtype,
                            causal=self.chunk > 0, name="conv")
         if stream:
             cv, new_tail = conv(pre("ln_conv", x), mask, h_tail=carries[2])
         else:
             cv = conv(pre("ln_conv", x), mask)
-        x = x + cv.astype(jnp.float32)
-        x = x + 0.5 * _FFN(self.ff_mult, self.dtype, name="ffn2")(
-            pre("ln_ffn2", x)).astype(jnp.float32)
-        x = ln("ln_out")(x)
+        x = x + cv.astype(rdt)
+        x = x + (0.5 * _FFN(self.ff_mult, self.dtype, name="ffn2")(
+            pre("ln_ffn2", x)).astype(jnp.float32)).astype(rdt)
+        x = ln("ln_out")(x).astype(rdt)     # inter-block tensor stays rdt
         x = x * mask[:, :, None].astype(x.dtype)
         if stream:
             return x, (new_kv[0], new_kv[1], new_tail)

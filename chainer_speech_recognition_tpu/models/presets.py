@@ -103,7 +103,9 @@ class AcousticModel(nn.Module):
                     heads=cfg.attn_heads, ff_mult=cfg.attn_ff_mult,
                     conv_kernel=cfg.attn_conv_kernel, dtype=dtype,
                     chunk=cfg.attn_chunk, left_chunks=cfg.attn_left_chunks,
-                    impl=cfg.attn_impl, name=f"conformer{i}")
+                    impl=cfg.attn_impl,
+                    residual_dtype=jnp.dtype(cfg.attn_residual_dtype),
+                    name=f"conformer{i}")
                 if stream:
                     x, blk_carries = block(
                         x, lens, carries=rnn_carries[3 + 3 * i : 6 + 3 * i],

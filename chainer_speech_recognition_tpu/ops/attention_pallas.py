@@ -105,8 +105,21 @@ def _skip_block(i, j, bq, bk, chunk, left_chunks):
 
 # ---------------------------------------------------------------- forward
 
+def _rows_per_cell(BH, T):
+    """BH rows processed per grid cell (round-5, VERDICT r4 next #3): at
+    short T the kernel's loss to einsum was per-cell overhead — a
+    (BH, 1, 1) grid of tiny cells at T=256 — so cells batch g rows via a
+    static in-kernel unroll, shrinking the grid g×. g scales inversely
+    with T to keep per-cell VMEM/work bounded; must divide BH."""
+    g = max(1, min(8, 2048 // max(T, 1)))
+    while BH % g:
+        g -= 1
+    return g
+
+
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_sc, m_sc, l_sc, *, scale, bq, bk, chunk, left_chunks):
+                acc_sc, m_sc, l_sc, *, scale, g, bq, bk, chunk,
+                left_chunks):
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -117,24 +130,26 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_sc[:] = jnp.zeros_like(l_sc)
 
     def _body():
-        q, k = q_ref[0], k_ref[0]                        # [bq|bk, dh]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
         qpos, kpos = _positions(i, j, bq, bk)
-        s = jnp.where(_allowed(qpos, kpos, len_ref[b], chunk, left_chunks),
-                      s, _NEG)
-        m_prev = m_sc[:, 0:1]                            # [bq, 1]
-        l_prev = l_sc[:, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)                           # [bq, bk] fp32
-        corr = jnp.exp(m_prev - m_new)                   # [bq, 1]
-        l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_sc[:] = acc_sc[:] * corr + pv
-        m_sc[:, 0:1] = m_new
-        l_sc[:, 0:1] = l_new
+        for gi in range(g):                              # static unroll
+            q, k = q_ref[gi], k_ref[gi]                  # [bq|bk, dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            s = jnp.where(_allowed(qpos, kpos, len_ref[b * g + gi],
+                                   chunk, left_chunks), s, _NEG)
+            m_prev = m_sc[gi, :, 0:1]                    # [bq, 1]
+            l_prev = l_sc[gi, :, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)                       # [bq, bk] fp32
+            corr = jnp.exp(m_prev - m_new)               # [bq, 1]
+            l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[gi],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_sc[gi] = acc_sc[gi] * corr + pv
+            m_sc[gi, :, 0:1] = m_new
+            l_sc[gi, :, 0:1] = l_new
 
     if chunk:
         pl.when(jnp.logical_not(
@@ -144,9 +159,10 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(j == nk - 1)
     def _():
-        l = l_sc[:, 0:1]
-        o_ref[0] = (acc_sc[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = m_sc[:, 0:1] + jnp.log(l)
+        for gi in range(g):
+            l = l_sc[gi, :, 0:1]
+            o_ref[gi] = (acc_sc[gi] / l).astype(o_ref.dtype)
+            lse_ref[gi] = m_sc[gi, :, 0:1] + jnp.log(l)
 
 
 def _flash_forward(q3, k3, v3, lens, chunk, left_chunks):
@@ -154,31 +170,32 @@ def _flash_forward(q3, k3, v3, lens, chunk, left_chunks):
     int32. Returns (out [BH, T, dh], lse [BH, T, 1] fp32)."""
     BH, T, dh = q3.shape
     bq, bk = _blocks(T)
+    g = _rows_per_cell(BH, T)
     scale = 1.0 / (dh ** 0.5)
-    kern = functools.partial(_fwd_kernel, scale=scale, bq=bq, bk=bk,
+    kern = functools.partial(_fwd_kernel, scale=scale, g=g, bq=bq, bk=bk,
                              chunk=chunk, left_chunks=left_chunks)
     return pl.pallas_call(
         kern,
-        grid=(BH, T // bq, T // bk),
+        grid=(BH // g, T // bq, T // bk),
         in_specs=[
             pl.BlockSpec((BH,), lambda b, i, j: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((g, bq, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((g, bk, dh), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((g, bk, dh), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((g, bq, dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((g, bq, 1), lambda b, i, j: (b, i, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, dh), q3.dtype),
             jax.ShapeDtypeStruct((BH, T, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bq, dh), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((g, bq, dh), jnp.float32),
+            pltpu.VMEM((g, bq, 128), jnp.float32),
+            pltpu.VMEM((g, bq, 128), jnp.float32),
         ],
         interpret=_interp(),
     )(lens, q3, k3, v3)
@@ -197,7 +214,7 @@ def _probs(q, k, lse_col, i, j, n_valid, scale, bq, bk, chunk, left_chunks):
 
 
 def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
-                   dq_ref, dq_sc, *, scale, bq, bk, chunk, left_chunks):
+                   dq_ref, dq_sc, *, scale, g, bq, bk, chunk, left_chunks):
     b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -206,15 +223,16 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
         dq_sc[:] = jnp.zeros_like(dq_sc)
 
     def _body():
-        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        p = _probs(q, k, lse_ref[0], i, j, len_ref[b],
-                   scale, bq, bk, chunk, left_chunks)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - d_ref[0])                         # [bq, bk] fp32
-        dq_sc[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        for gi in range(g):                              # static unroll
+            q, k, v, do = q_ref[gi], k_ref[gi], v_ref[gi], do_ref[gi]
+            p = _probs(q, k, lse_ref[gi], i, j, len_ref[b * g + gi],
+                       scale, bq, bk, chunk, left_chunks)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - d_ref[gi])                    # [bq, bk] fp32
+            dq_sc[gi] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
 
     if chunk:
         pl.when(jnp.logical_not(
@@ -224,12 +242,12 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
 
     @pl.when(j == nk - 1)
     def _():
-        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+        dq_ref[:] = dq_sc[:].astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
                     dk_ref, dv_ref, dk_sc, dv_sc,
-                    *, scale, bq, bk, chunk, left_chunks):
+                    *, scale, g, bq, bk, chunk, left_chunks):
     b = pl.program_id(0)
     j, i = pl.program_id(1), pl.program_id(2)           # key outer, query inner
     nq = pl.num_programs(2)
@@ -240,18 +258,20 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
         dv_sc[:] = jnp.zeros_like(dv_sc)
 
     def _body():
-        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        p = _probs(q, k, lse_ref[0], i, j, len_ref[b],
-                   scale, bq, bk, chunk, left_chunks)
-        pv = p.astype(do.dtype)
-        dv_sc[:] += jax.lax.dot_general(pv, do, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = (p * (dp - d_ref[0])).astype(q.dtype)       # [bq, bk]
-        dk_sc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32
-                                        ) * scale
+        for gi in range(g):                              # static unroll
+            q, k, v, do = q_ref[gi], k_ref[gi], v_ref[gi], do_ref[gi]
+            p = _probs(q, k, lse_ref[gi], i, j, len_ref[b * g + gi],
+                       scale, bq, bk, chunk, left_chunks)
+            pv = p.astype(do.dtype)
+            dv_sc[gi] += jax.lax.dot_general(
+                pv, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = (p * (dp - d_ref[gi])).astype(q.dtype)  # [bq, bk]
+            dk_sc[gi] += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
 
     if chunk:
         pl.when(jnp.logical_not(
@@ -261,53 +281,54 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
 
     @pl.when(i == nq - 1)
     def _():
-        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+        dk_ref[:] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_sc[:].astype(dv_ref.dtype)
 
 
 def _flash_backward(q3, k3, v3, lens, out, lse, do, chunk, left_chunks):
     BH, T, dh = q3.shape
     bq, bk = _blocks(T)
+    g = _rows_per_cell(BH, T)
     scale = 1.0 / (dh ** 0.5)
     # D = rowsum(dO ⊙ O): one fused elementwise reduce in XLA — nothing
     # quadratic, no reason to burn a kernel on it. [BH, T, 1] layout per
     # the Mosaic tiling rule (module docstring).
     d_rows = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                      axis=-1, keepdims=True)             # [BH, T, 1]
-    qspec = pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0))
-    kspec = pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0))
-    rspec = pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0))
+    qspec = pl.BlockSpec((g, bq, dh), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((g, bk, dh), lambda b, i, j: (b, j, 0))
+    rspec = pl.BlockSpec((g, bq, 1), lambda b, i, j: (b, i, 0))
     lspec = pl.BlockSpec((BH,), lambda b, i, j: (0,),
                          memory_space=pltpu.SMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, bq=bq, bk=bk,
+        functools.partial(_bwd_dq_kernel, scale=scale, g=g, bq=bq, bk=bk,
                           chunk=chunk, left_chunks=left_chunks),
-        grid=(BH, T // bq, T // bk),
+        grid=(BH // g, T // bq, T // bk),
         in_specs=[lspec, qspec, kspec, kspec, qspec, rspec, rspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((BH, T, dh), q3.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((g, bq, dh), jnp.float32)],
         interpret=_interp(),
     )(lens, q3, k3, v3, do, lse, d_rows)
     # dK/dV walk query blocks innermost: swap the roles of the two
     # non-batch grid axes (program_id(1) = key block, program_id(2) =
     # query block)
-    qspec_t = pl.BlockSpec((1, bq, dh), lambda b, j, i: (b, i, 0))
-    kspec_t = pl.BlockSpec((1, bk, dh), lambda b, j, i: (b, j, 0))
-    rspec_t = pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0))
+    qspec_t = pl.BlockSpec((g, bq, dh), lambda b, j, i: (b, i, 0))
+    kspec_t = pl.BlockSpec((g, bk, dh), lambda b, j, i: (b, j, 0))
+    rspec_t = pl.BlockSpec((g, bq, 1), lambda b, j, i: (b, i, 0))
     lspec_t = pl.BlockSpec((BH,), lambda b, j, i: (0,),
                            memory_space=pltpu.SMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, bq=bq, bk=bk,
+        functools.partial(_bwd_dkv_kernel, scale=scale, g=g, bq=bq, bk=bk,
                           chunk=chunk, left_chunks=left_chunks),
-        grid=(BH, T // bk, T // bq),
+        grid=(BH // g, T // bk, T // bq),
         in_specs=[lspec_t, qspec_t, kspec_t, kspec_t, qspec_t,
                   rspec_t, rspec_t],
         out_specs=(kspec_t, kspec_t),
         out_shape=(jax.ShapeDtypeStruct((BH, T, dh), k3.dtype),
                    jax.ShapeDtypeStruct((BH, T, dh), v3.dtype)),
-        scratch_shapes=[pltpu.VMEM((bk, dh), jnp.float32),
-                        pltpu.VMEM((bk, dh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((g, bk, dh), jnp.float32),
+                        pltpu.VMEM((g, bk, dh), jnp.float32)],
         interpret=_interp(),
     )(lens, q3, k3, v3, do, lse, d_rows)
     return dq, dk, dv

@@ -142,6 +142,36 @@ def test_large_vocab_beam_matches_reference():
         assert [int(x) for x in hyps[b]] == ref, b
 
 
+def test_bpe_scale_vocab_beam_matches_reference():
+    """V=512 (BPE-scale) exactness for the O(K²) parent-hash merge
+    (VERDICT r4 next #1): device beam == host reference with and without
+    trigram LM fusion, on peaked and on flat (merge-heavy) posteriors."""
+    B, T, V = 3, 20, 512
+    rng = np.random.default_rng(17)
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    # row 0/1 peaked around a path, row 2 stays flat (maximum merging)
+    for b in range(2):
+        path = rng.integers(0, V, T)
+        logits[b, np.arange(T), path] += 6.0
+    lens = np.asarray([20, 14, 9])
+    lm = NGramLM(3, V)
+    lm.logp[0][()] = {c: float(np.log(0.5 / (V - 1))) for c in range(1, V)}
+    for k in (1, 2):
+        for ctx in {tuple(int(x) for x in rng.integers(1, V, k))
+                    for _ in range(300)}:
+            succ = rng.integers(1, V, size=6)
+            lp = np.log(rng.dirichlet(np.ones(6)) * 0.6)
+            lm.logp[k][ctx] = {int(c): float(p) for c, p in zip(succ, lp)}
+            lm.backoff[k][ctx] = float(np.log(0.4))
+    lp_all = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    for kw in (dict(), dict(lm=lm.to_hashed(), alpha=0.5, beta=0.8)):
+        dev = beam_decode(logits, lens, beam=8, **kw)
+        rkw = dict(lm=lm, alpha=0.5, beta=0.8) if kw else {}
+        for b in range(B):
+            ref = beam_decode_reference(lp_all[b], lens[b], beam=8, **rkw)
+            assert [int(x) for x in dev[b]] == ref, (bool(kw), b)
+
+
 def test_unigram_lm_beta_only_matches_reference():
     """order-1 LM with alpha=0 but beta!=0: the insertion bonus must still
     apply on device (regression: fusion was gated on order>1 or alpha!=0)."""
@@ -223,22 +253,23 @@ def test_hashed_lm_matches_score_recursion():
     V = len(vocab)
     assert h.order == 4 and h.rows.shape[1] == V
     assert h.bytes < 64 * 1024          # vs dense V^3·V·4 = 16 KB at V=4...
-    # host replica of the device probe (same hash, same level order)
+    # host replica of the device probe (same double window-hash keys,
+    # same longest-suffix-first level order — decode/lm.py ctx_keys)
+    from chainer_speech_recognition_tpu.decode.lm import ctx_keys
     cap = h.table.shape[0]
 
     def probe_row(ctx_tuple):
-        cid = 0
-        for c in ctx_tuple[-(h.order - 1):]:
-            cid = cid * V + c
+        window = tuple(ctx_tuple[-(h.order - 1):])
         for k in range(h.order - 1, 0, -1):
-            key = cid % V ** k
-            if key <= 0:
+            k1, k2 = ctx_keys(window[-k:], V)
+            if (k1, k2) == (0, 0):
                 continue
-            slot = int(key) * 2654435761 % cap
+            slot = (k1 & 0xFFFFFFFF) * 2654435761 % cap
             for p in range(h.max_probes):
                 s = (slot + p) % cap
-                if h.table[s, 0] == key:
-                    return h.rows[h.table[s, 1]]
+                if (h.table[s, 0] == k1 and h.table[s, 1] == k2
+                        and h.table[s, 2] != -1):
+                    return h.rows[h.table[s, 2]]
         return h.rows[0]
 
     rng = np.random.default_rng(5)
@@ -274,6 +305,69 @@ def test_hashed_beam_matches_dense_and_reference():
         ref = beam_decode_reference(lp[b], lens[b], beam=8, lm=lm,
                                     alpha=0.6, beta=0.4)
         assert [int(x) for x in dev_h[b]] == ref, b
+
+
+def test_hashed_fp16_rows_match_fp32():
+    """fp16 score-row storage (the CSJ/BPE vocab-scale residency lever,
+    VERDICT r4 next #1) must keep beam results identical to fp32 rows on
+    a real backoff LM — the ~2⁻¹¹ relative log-prob quantization is far
+    below the score gaps the beam resolves — and device_lm's auto policy
+    must pick fp16 exactly when the fp32 rows exceed the budget."""
+    from chainer_speech_recognition_tpu.decode.lm import device_lm
+
+    vocab = Vocab.build(["あいう", "ういあ", "あいあ", "うあい"], add_unk=False)
+    lm = NGramLM.train(["あいう"] * 9 + ["ういあ"] * 4 + ["あいあ"] * 2
+                       + ["うあい"] * 3, vocab, order=4)
+    h32 = lm.to_hashed()
+    h16 = lm.to_hashed(rows_dtype=np.float16)
+    assert h16.rows.dtype == np.float16
+    assert h16.bytes < h32.bytes
+    np.testing.assert_allclose(h16.rows.astype(np.float32), h32.rows,
+                               rtol=1e-3, atol=1e-3)
+    V = len(vocab)
+    B, T = 4, 16
+    logits = _logits(31, B, T, V, scale=1.5)
+    lens = np.asarray([16, 13, 10, 7])
+    got16 = beam_decode(logits, lens, beam=8, lm=h16, alpha=0.6, beta=0.4)
+    got32 = beam_decode(logits, lens, beam=8, lm=h32, alpha=0.6, beta=0.4)
+    assert got16 == got32
+    # auto policy: dense budget forces hashed; rows budget 0 forces fp16
+    auto16 = device_lm(lm, dense_budget_bytes=0, hashed_rows_budget_bytes=0)
+    assert auto16.rows.dtype == np.float16
+    auto32 = device_lm(lm, dense_budget_bytes=0)
+    assert auto32.rows.dtype == np.float32
+
+
+def test_hashed_order4_bpe_vocab_matches_reference():
+    """Order-4 fusion at BPE vocab scale (V=3000 — far beyond the old
+    V^order < 2^31 rolled-id bound: 3000⁴ ≈ 2⁴⁶): the double window-hash
+    context keys must reproduce the host reference exactly. This is the
+    configuration the round-5 large-vocab bench first caught as a hard
+    ValueError (VERDICT r4 next #1 'fix what cliffs')."""
+    V, B, T = 3000, 2, 10
+    rng = np.random.default_rng(23)
+    lm = NGramLM(4, V)
+    lm.logp[0][()] = {c: float(np.log(0.8 / (V - 1)))
+                      for c in range(1, V, 7)}
+    for k in (1, 2, 3):
+        for ctx in {tuple(int(x) for x in rng.integers(1, V, k))
+                    for _ in range(200)}:
+            succ = rng.integers(1, V, size=5)
+            lp = np.log(rng.dirichlet(np.ones(5)) * 0.7)
+            lm.logp[k][ctx] = {int(c): float(p) for c, p in zip(succ, lp)}
+            lm.backoff[k][ctx] = float(np.log(0.3))
+    h = lm.to_hashed()
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    path = rng.integers(0, V, (B, T))
+    for b in range(B):
+        logits[b, np.arange(T), path[b]] += 5.0
+    lens = np.asarray([10, 7])
+    lp_all = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
+    dev = beam_decode(logits, lens, beam=8, lm=h, alpha=0.6, beta=0.5)
+    for b in range(B):
+        ref = beam_decode_reference(lp_all[b], lens[b], beam=8, lm=lm,
+                                    alpha=0.6, beta=0.5)
+        assert [int(x) for x in dev[b]] == ref, b
 
 
 @pytest.mark.slow

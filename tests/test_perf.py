@@ -103,6 +103,11 @@ def _bench_batch(B=64, frames=1024, vocab=64):
 @pytest.mark.parametrize("preset", ["bigru", "bilstm_deep", "glu_conv",
                                     "conformer", "conformer_stream"])
 def test_preset_train_throughput(preset):
+    """Preset floors are pinned on the DEVICE-TIME rate (VERDICT r4
+    next #6): the enqueue-N-drain slope between N=steps and N=2 cancels
+    the fixed relay RTT + pipeline fill, so this guard moves only when
+    the chip's per-step cost moves. The wall-clock rate is still
+    measured and reported (and trend-logged) for drift attribution."""
     from chainer_speech_recognition_tpu.config import preset_config
     from chainer_speech_recognition_tpu.frontend.jnp_frontend import (
         batch_features)
@@ -125,14 +130,34 @@ def test_preset_train_throughput(preset):
     sharded = shard_batch(mesh, batch)
     state, m = step(state, sharded); _drain(m["loss"])
     state, m = step(state, sharded); _drain(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, sharded)
-    _drain(m["loss"])
-    ups = B * steps / (time.perf_counter() - t0)
-    floor = FLOOR["train_utt_per_sec"][preset]
-    assert ups >= MARGIN * floor, (
-        f"{preset}: {ups:.0f} utt/s < {MARGIN}x recorded {floor}")
+
+    def timed(n, reps=2):
+        nonlocal state, m
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, m = step(state, sharded)
+            _drain(m["loss"])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt, dt2 = timed(steps), timed(2)
+    wall_ups = B * steps / dt
+    dev_ups = B * (steps - 2) / max(dt - dt2, 1e-9)
+    print(f"\n[{preset}] device {dev_ups:.0f} utt/s, wall {wall_ups:.0f}")
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "perf_trend.jsonl"), "a") as fh:
+            fh.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "name": f"train_{preset}", "device": round(dev_ups, 1),
+                "wall": round(wall_ups, 1)}) + "\n")
+    except OSError:
+        pass
+    floor = FLOOR["train_device_utt_per_sec"][preset]
+    assert dev_ups >= MARGIN * floor, (
+        f"{preset}: device {dev_ups:.0f} utt/s < {MARGIN}x recorded {floor}")
 
 
 def test_greedy_decode_throughput():
@@ -324,6 +349,30 @@ def test_beam_k8_ms():
     ms = (time.perf_counter() - t0) / iters * 1e3
     floor = FLOOR["beam_k8_b32_t256_v100_ms"]
     assert ms <= floor / MARGIN, f"beam K=8 {ms:.2f} ms > {floor}/{MARGIN}"
+
+
+def test_beam_k8_largevocab_ms():
+    """Guards the beam kernel at CSJ-realistic vocabulary scale (VERDICT
+    r4 next #1): the O(K²) parent-hash merge keeps the V=2048 scan within
+    ~2× of the V=100 cost — a regression back to any O(K²·V) per-frame
+    tensor (54.6 ms at this shape in the round-4 design) fails hard."""
+    from chainer_speech_recognition_tpu.decode.beam import _beam_call
+
+    B, T, V, iters = 32, 256, 2048, 30
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((B, T, V)).astype(np.float32))
+    lens = jnp.full((B,), T, jnp.int32)
+    out = _beam_call(logits, lens, 8, T, None, 0.0, 0.0); _drain(out[1])
+    for _ in range(5):
+        out = _beam_call(logits, lens, 8, T, None, 0.0, 0.0)
+    _drain(out[1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = _beam_call(logits, lens, 8, T, None, 0.0, 0.0)
+    _drain(out[1])
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    floor = FLOOR["beam_k8_b32_t256_v2048_ms"]
+    assert ms <= floor / MARGIN, f"beam K=8 V=2048 {ms:.2f} ms > {floor}/{MARGIN}"
 
 
 def test_greedy_pallas_kernel_ms():
