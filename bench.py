@@ -840,6 +840,51 @@ def main(argv=None):
             if r is not None:
                 extra["conformer_longform_t1024_einsum_utt_per_sec"] = \
                     round(r, 1)
+
+            def _longform_e2e(secs=120, B_lf=4, beam=8, iters=4):
+                """Minutes-long OFFLINE transcription end to end (VERDICT
+                r4 next #4): front-end → conformer forward with global
+                attention at T' ≈ secs·25 (flash-routed — asserted via
+                the trace-time routing log) → prefix beam → host pull.
+                The product surface is `decode` on a long wav; this
+                measures the same pipeline shape device-side."""
+                from chainer_speech_recognition_tpu.decode.beam import (
+                    beam_decode)
+                from chainer_speech_recognition_tpu.ops import (
+                    attention_pallas as ap)
+                lcfg = preset_config("conformer").override({
+                    "model.vocab_size": 64,
+                    "model.compute_dtype": compute_dtype})
+                lmodel = build_model(lcfg.model)
+                n = C.SAMPLE_RATE * secs
+                rng = np.random.default_rng(0)
+                sig = rng.uniform(-0.3, 0.3, (B_lf, n)).astype(np.float32)
+                slens = np.full(B_lf, n, np.int64)
+                slens[0] = int(n * 0.8)            # one shorter row
+                feats, flens = batch_features(jnp.asarray(sig),
+                                              jnp.asarray(slens))
+                lst = init_state(lmodel, lcfg.optim, jax.random.key(0),
+                                 feats, flens)
+                fwd = jax.jit(lmodel.apply)
+                before = ap.ROUTED["flash"]
+                logits, olens = fwd(lst.params, feats, flens)
+                logits = jax.block_until_ready(logits)
+                routed = ap.ROUTED["flash"] > before
+                hyps = beam_decode(logits, olens, beam=beam)  # compile
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    logits, olens = fwd(lst.params, feats, flens)
+                    hyps = beam_decode(logits, olens, beam=beam)
+                dt = time.perf_counter() - t0
+                audio = float(np.sum(slens)) / C.SAMPLE_RATE * iters
+                return {"longform_e2e_secs_per_utt": secs,
+                        "longform_e2e_utt_per_sec": round(
+                            B_lf * iters / dt, 2),
+                        "longform_e2e_rtf": round(audio / dt, 1),
+                        "longform_e2e_flash_routed": bool(routed)}
+            r = section("longform_e2e", _longform_e2e)
+            if r is not None:
+                extra.update(r)
         # chunk-causal attention serving figures (VERDICT r3 next #4):
         # the streaming attention family's RT factor, greedy and beam+LM
         if args.preset != "conformer_stream":

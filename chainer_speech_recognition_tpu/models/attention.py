@@ -141,16 +141,20 @@ class _MHSA(nn.Module):
         k = qkv[..., d:2 * d].reshape(B, T, h, dh)
         v = qkv[..., 2 * d:].reshape(B, T, h, dh)
         q, k = rope(q, pos0=pos0), rope(k, pos0=pos0)
-        if kv_cache is None and lengths is not None and self.impl != "einsum":
+        if kv_cache is None and lengths is not None:
             from ..ops import attention_pallas as ap
             import jax
-            if self.impl == "flash" or (jax.default_backend() == "tpu"
-                                        and ap.supports(T, dh)):
+            if self.impl != "einsum" and (
+                    self.impl == "flash"
+                    or (jax.default_backend() == "tpu"
+                        and ap.supports(T, dh))):
+                ap.ROUTED["flash"] += 1          # trace-time routing log
                 out = ap.flash_mhsa(
                     q.astype(self.dtype), k.astype(self.dtype),
                     v.astype(self.dtype), lengths,
                     chunk=self.chunk, left_chunks=self.left_chunks)
                 return dense("out")(out.reshape(B, T, d))
+            ap.ROUTED["einsum"] += 1
         if kv_cache is not None:
             k_cache, v_cache = kv_cache                  # [B, P, h, dh] ×2
             P = k_cache.shape[1]

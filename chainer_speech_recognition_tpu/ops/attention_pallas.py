@@ -70,6 +70,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # same masking constant as models/attention.py
 
+# trace-time routing log (VERDICT r4 next #4: "assert the flash path
+# actually executes"): models/attention.py bumps one of these each time
+# an OFFLINE MHSA call is traced, so products (decode CLI long-form,
+# bench) can assert which kernel their compile actually took.
+ROUTED = {"flash": 0, "einsum": 0}
+
 
 def _interp() -> bool:
     # Interpret on ANY non-TPU backend (ADVICE r4): the Mosaic lowering

@@ -175,6 +175,23 @@ def test_conformer_block_flash_equals_einsum():
     np.testing.assert_allclose(yf, ye, rtol=3e-5, atol=3e-5)
 
 
+def test_routing_log_counts_traces():
+    """The trace-time routing log (VERDICT r4 next #4: products assert
+    the flash path actually executes) must bump exactly one counter per
+    offline MHSA trace."""
+    from chainer_speech_recognition_tpu.models.attention import ConformerBlock
+    from chainer_speech_recognition_tpu.ops import attention_pallas as ap
+    B, T, d = 1, 64, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, d), jnp.float32)
+    lens = jnp.array([64], jnp.int32)
+    for impl, key in (("einsum", "einsum"), ("flash", "flash")):
+        blk = ConformerBlock(heads=2, dtype=jnp.float32, impl=impl)
+        params = blk.init(jax.random.PRNGKey(1), x, lens)
+        before = dict(ap.ROUTED)
+        blk.apply(params, x, lens)
+        assert ap.ROUTED[key] > before[key], (impl, ap.ROUTED, before)
+
+
 def test_auto_policy_crossover_gate():
     """supports() encodes the MEASURED model-level crossover (BASELINE.md
     round 4): einsum at bucket-menu lengths, flash only for long-form
