@@ -360,16 +360,17 @@ def _pad_t(T):
 
 def supports(T, dh):
     """Shape gate for the auto path. dh must be lane-tileable, and the
-    MEASURED model-level crossover (round 4, TPU v5e, conformer train
-    step) picks the winner by sequence length: einsum wins at T' ≤ 256
-    (2,805 vs 2,293 utt/s — at short T the quadratic tensors ride XLA's
-    fusion pipeline while this kernel's grid serializes small
-    64-contraction matmuls on the one tensorcore), the two tie at
-    T' = 512 (718 vs 715), and flash wins at T' = 1024 (+23%: 449 vs
-    366 utt/s, step 35.6 vs 43.7 ms) where einsum's [B, h, T, T] HBM
-    materialization dominates. Auto therefore routes flash only for
-    long-form T > 512; ``impl="flash"`` still forces it anywhere."""
-    return dh % 64 == 0 and dh <= 512 and T > 512
+    MEASURED model-level crossover (round 5 after the multi-row grid
+    blocking ``_rows_per_cell``, TPU v5e, conformer train step,
+    device-time slope) picks the winner by sequence length: einsum
+    still wins at T' = 256 (3,323 vs 3,009 utt/s — the quadratic
+    tensors are small enough to ride XLA's fusion pipeline; the gap was
+    −18% before row blocking, −9.5% after), flash WINS from T' = 512 up
+    (+9.4%: 1,333 vs 1,218 at T'=512; +30%: 514 vs 394 at T'=1024)
+    where einsum's [B, h, T, T] HBM materialization dominates. Auto
+    therefore routes flash for T > 256; ``impl="flash"`` still forces
+    it anywhere."""
+    return dh % 64 == 0 and dh <= 512 and T > 256
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

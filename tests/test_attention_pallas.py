@@ -194,13 +194,13 @@ def test_routing_log_counts_traces():
 
 def test_auto_policy_crossover_gate():
     """supports() encodes the MEASURED model-level crossover (BASELINE.md
-    round 4): einsum at bucket-menu lengths, flash only for long-form
-    T > 512. A silent gate change re-routes every conformer compile, so
-    pin it."""
+    round 5, after multi-row grid blocking): einsum at T' ≤ 256, flash
+    from T' = 512 up. A silent gate change re-routes every conformer
+    compile, so pin it."""
     from chainer_speech_recognition_tpu.ops.attention_pallas import supports
-    assert not supports(256, 64)      # bench bucket: einsum wins (2805>2293)
-    assert not supports(512, 64)      # tie measured: stay on einsum
-    assert supports(1024, 64)         # long-form: flash wins +23%
+    assert not supports(256, 64)      # bench bucket: einsum wins (3323>3009)
+    assert supports(512, 64)          # flash wins +9.4% (1333 vs 1218)
+    assert supports(1024, 64)         # long-form: flash wins +30%
     assert supports(2048, 128)
     assert not supports(1024, 96)     # dh must be lane-tileable
     assert not supports(1024, 1024)   # dh beyond VMEM plan
