@@ -145,3 +145,20 @@ def test_unidirectional_pallas_matches_scan():
             jax.tree.map(lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
                 gpa, gpb)
+
+
+def test_conformer_roofline_model():
+    """The published byte/FLOP roofline (utils/roofline.py — the r4
+    'is 0.36 the ceiling?' closing) must keep its structural claims:
+    every block component BW-bound at the bench shape, bf16 residuals
+    strictly cheaper, flash strictly cheaper than einsum attention."""
+    from chainer_speech_recognition_tpu.utils import roofline as R
+
+    f32 = R.conformer_block_components(64, 256, 256, residual_bytes=R.FP32)
+    b16 = R.conformer_block_components(64, 256, 256, residual_bytes=R.BF16)
+    fl = R.conformer_block_components(64, 256, 256, flash=True)
+    assert all(c.bound == "BW" for c in f32), [c.name for c in f32]
+    assert sum(c.bytes_ for c in b16) < sum(c.bytes_ for c in f32)
+    assert sum(c.bytes_ for c in fl) < sum(c.bytes_ for c in b16)
+    assert abs(sum(c.flops for c in f32) - sum(c.flops for c in fl)) < 1e-6 \
+        * sum(c.flops for c in f32)
