@@ -359,18 +359,28 @@ def _pad_t(T):
 
 
 def supports(T, dh):
-    """Shape gate for the auto path. dh must be lane-tileable, and the
-    MEASURED model-level crossover (round 5 after the multi-row grid
-    blocking ``_rows_per_cell``, TPU v5e, conformer train step,
-    device-time slope) picks the winner by sequence length: einsum
-    still wins at T' = 256 (3,323 vs 3,009 utt/s — the quadratic
-    tensors are small enough to ride XLA's fusion pipeline; the gap was
-    −18% before row blocking, −9.5% after), flash WINS from T' = 512 up
-    (+9.4%: 1,333 vs 1,218 at T'=512; +30%: 514 vs 394 at T'=1024)
-    where einsum's [B, h, T, T] HBM materialization dominates. Auto
-    therefore routes flash for T > 256; ``impl="flash"`` still forces
-    it anywhere."""
-    return dh % 64 == 0 and dh <= 512 and T > 256
+    """Shape gate for the auto path. dh must be lane-tileable; the
+    crossover is MEASURED (round 5 after the multi-row grid blocking
+    ``_rows_per_cell``, TPU v5e, conformer train step, device-time
+    slope): einsum wins at T' = 256 (3,323 vs 3,009 utt/s; the gap was
+    −18% before row blocking, −9.5% after), flash wins on STEP TIME
+    from T' = 512 up (+9.4%: 1,333 vs 1,218 at T'=512; +30%: 514 vs
+    394 at T'=1024) where einsum's [B, h, T, T] HBM materialization
+    dominates.
+
+    Auto nevertheless routes flash only for T > 512: a controlled
+    round-5 experiment (BASELINE.md "round-5 attention levers",
+    trajectory files /tmp/conf_*.jsonl) showed that TRAINING the
+    conformer recipe through the flash path at bucket lengths
+    (T' = 384) stalls the fragile CTC plateau escape that the
+    fp32/einsum recipe exits at ~1.3k steps — the kernel's numerics are
+    differentially clean on-chip (≤0.7% relative grads, bf16), but the
+    online-softmax re-association is enough perturbation to change the
+    escape trajectory at this budget. Long-form T > 512 keeps the big
+    win (and is forward-dominated in practice: the long-form product
+    surface is offline decode); ``impl="flash"`` still forces the
+    kernel anywhere for configs that bake their own recipe."""
+    return dh % 64 == 0 and dh <= 512 and T > 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

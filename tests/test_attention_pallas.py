@@ -193,13 +193,16 @@ def test_routing_log_counts_traces():
 
 
 def test_auto_policy_crossover_gate():
-    """supports() encodes the MEASURED model-level crossover (BASELINE.md
-    round 5, after multi-row grid blocking): einsum at T' ≤ 256, flash
-    from T' = 512 up. A silent gate change re-routes every conformer
-    compile, so pin it."""
+    """supports() encodes the round-5 routing decision: einsum at the
+    bucket-menu lengths (flash's +9.4% step-time win at T'=512 is
+    DECLINED because training through it stalls the conformer recipe's
+    CTC plateau escape — supports() docstring), flash for long-form
+    T > 512 where it wins +30% and the surface is forward-dominated.
+    A silent gate change re-routes every conformer compile, so pin it."""
     from chainer_speech_recognition_tpu.ops.attention_pallas import supports
     assert not supports(256, 64)      # bench bucket: einsum wins (3323>3009)
-    assert supports(512, 64)          # flash wins +9.4% (1333 vs 1218)
+    assert not supports(384, 64)      # bucket 1536: einsum (recipe stability)
+    assert not supports(512, 64)      # step-time win declined (see docstring)
     assert supports(1024, 64)         # long-form: flash wins +30%
     assert supports(2048, 128)
     assert not supports(1024, 96)     # dh must be lane-tileable
