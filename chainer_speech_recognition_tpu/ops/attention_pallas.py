@@ -370,7 +370,7 @@ def supports(T, dh):
 
     Auto nevertheless routes flash only for T > 512: a controlled
     round-5 experiment (BASELINE.md "round-5 attention levers",
-    trajectory files /tmp/conf_*.jsonl) showed that TRAINING the
+    quality-gate paragraph) showed that TRAINING the
     conformer recipe through the flash path at bucket lengths
     (T' = 384) stalls the fragile CTC plateau escape that the
     fp32/einsum recipe exits at ~1.3k steps — the kernel's numerics are
