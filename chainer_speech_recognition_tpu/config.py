@@ -360,6 +360,14 @@ def preset_config(name: str) -> Config:
             "model.attn_dim": 256,
             "model.attn_heads": 4,
             "model.attn_chunk": 16,        # 16 subsampled frames = 640 ms
+                                           # — chosen for SERVING cost
+                                           # (half the per-stream dispatch
+                                           # rate of chunk 8); the measured
+                                           # latency↔quality Pareto
+                                           # (PARITY.md §3g-bis) shows
+                                           # chunk 8 = better CER at half
+                                           # the latency for deployments
+                                           # that can afford 2× steps
             "model.attn_left_chunks": 4,   # 2.56 s cached left context
             "features.cmvn_mode": "causal",
             "specaugment.enabled": True,
