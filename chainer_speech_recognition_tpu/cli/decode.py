@@ -53,6 +53,13 @@ def main(argv=None):
                    help="file with one wav path per line (for corpora past "
                         "the shell's argv limit); combines with positional "
                         "wavs")
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="dotted eval-time config overrides (same rules as "
+                        "evaluate --set: deployment knobs + the execution-"
+                        "choice model.attn_impl / model.attn_residual_dtype "
+                        "/ model.rnn_impl — e.g. route an einsum-trained "
+                        "checkpoint's long-form decode through the flash "
+                        "kernel)")
     p.add_argument("wavs", nargs="*")
     args = p.parse_args(argv)
 
@@ -74,8 +81,17 @@ def main(argv=None):
         print(f"warning: --nbest {args.nbest} clamped to beam width "
               f"{args.beam}", file=sys.stderr)   # stdout is the result TSV
 
+    import json as _json
+    overrides = {}
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        try:
+            overrides[key] = _json.loads(val)
+        except _json.JSONDecodeError:
+            overrides[key] = val
     cfg, model, state, _ = load_model_and_params(args.ckpt_dir,
-                                               args.average_last)
+                                               args.average_last,
+                                               overrides=overrides)
     vocab = Vocab.load(args.vocab)
     if len(vocab) != cfg.model.vocab_size:
         raise SystemExit(

@@ -35,16 +35,26 @@ def load_model_and_params(ckpt_dir: str, average_last: int = 1,
 
     ``overrides`` are dotted config overrides applied on top of the frozen
     training config — eval-time deployment knobs (bucket shapes, batch
-    sizes, parallel axes). ``model.*`` keys are rejected: the topology must
-    match the checkpoint or restore would mis-map parameters."""
+    sizes, parallel axes). ``model.*`` keys are rejected — the topology
+    must match the checkpoint or restore would mis-map parameters — with
+    the exception of EXECUTION-CHOICE knobs that leave the parameter
+    layout and semantics untouched (``model.attn_impl``,
+    ``model.attn_residual_dtype``, ``model.rnn_impl``): a checkpoint
+    trained on the einsum path can deploy long-form on the flash kernel,
+    or fp32-trained residuals can serve bf16 (round-5 recipes,
+    BASELINE.md)."""
     cfg = load_config(ckpt_dir)
     if overrides:
-        bad = [k for k in overrides if k.split(".", 1)[0] == "model"]
+        exec_knobs = {"model.attn_impl", "model.attn_residual_dtype",
+                      "model.rnn_impl"}
+        bad = [k for k in overrides
+               if k.split(".", 1)[0] == "model" and k not in exec_knobs]
         if bad:
             raise SystemExit(
                 f"--set cannot override model topology ({', '.join(bad)}): "
                 "the checkpoint's parameters were shaped by the frozen "
-                "model config")
+                "model config (execution-choice knobs model.attn_impl / "
+                "model.attn_residual_dtype / model.rnn_impl ARE allowed)")
         cfg = cfg.override(overrides)
     model = build_model(cfg.model)
     ex = jnp.zeros((1, cfg.buckets.boundaries[0], cfg.features.n_mels, 3),
@@ -139,7 +149,9 @@ def main(argv=None):
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                    help="dotted eval-time config overrides on top of the "
                         "frozen training config (bucket shapes, parallel "
-                        "axes, ...); model.* is rejected")
+                        "axes, ...); model.* is rejected except the "
+                        "execution-choice knobs attn_impl / "
+                        "attn_residual_dtype / rnn_impl")
     args = p.parse_args(argv)
 
     overrides = {}

@@ -101,9 +101,17 @@ def test_cli_end_to_end(tmp_path, capsys):
     with pytest.raises(SystemExit, match="model topology"):
         evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
                            "--set", "model.rnn_hidden=512"])
+    # EXECUTION-CHOICE model knobs are the allowed exception (round 5):
+    # same params, same semantics, different kernel/dtype routing — the
+    # scan-path rnn_impl must reproduce the CER exactly on CPU
+    evaluate_cli.main(["--ckpt-dir", ckpt, "--data-dir", out,
+                       "--set", "model.rnn_impl=scan"])
+    knob_line = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("CER")][0]
+    assert abs(float(knob_line.split()[1]) - cer_val) < 1e-9, knob_line
 
     wav = os.path.join(corpus, "utt000.wav")
-    decode_cli.main(["--ckpt-dir", ckpt,
+    decode_cli.main(["--ckpt-dir", ckpt, "--set", "model.rnn_impl=scan",
                      "--vocab", os.path.join(out, "vocab.txt"), wav])
     out_line = [l for l in capsys.readouterr().out.splitlines()
                 if l.startswith(wav)][0]
